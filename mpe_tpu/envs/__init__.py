@@ -1,0 +1,15 @@
+from mpe_tpu.envs.functional import MpeEnv
+from mpe_tpu.envs.wrappers import MultiAgentEnv, VecMultiAgentEnv, pack_actions
+from mpe_tpu.envs import spaces
+
+# legacy alias for reference users (environment.py:288 BatchMultiAgentEnv)
+BatchMultiAgentEnv = VecMultiAgentEnv
+
+__all__ = [
+    "MpeEnv",
+    "MultiAgentEnv",
+    "VecMultiAgentEnv",
+    "BatchMultiAgentEnv",
+    "pack_actions",
+    "spaces",
+]

@@ -1,0 +1,109 @@
+"""Action decoding parity for all three modes (environment.py:144-192)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpe_tpu import scenarios
+from mpe_tpu.core.actions import ActionMode, decode_actions
+from mpe_tpu.envs.functional import MpeEnv
+from mpe_tpu.envs.wrappers import pack_actions
+from mpe_tpu.envs import spaces
+from tests import _oracle as O
+
+
+def _ref_world(name):
+    ref, world = O.load_ref_scenario(name)
+    np.random.seed(0)
+    ref.reset_world(world)
+    return world
+
+
+def _ref_decode_all(env, world, action_n, **kw):
+    us, cs = [], []
+    for i, agent in enumerate(world.agents):
+        space = env.action_spaces()[i]
+        sizes = space.sizes if isinstance(space, spaces.MultiDiscrete) else None
+        u, c = O.oracle_set_action(action_n[i], agent, world, sub_sizes=sizes, **kw)
+        us.append(u)
+        cs.append(c)
+    return np.stack(us), np.stack(cs)
+
+
+@pytest.mark.parametrize("name", ["simple", "simple_spread"])
+def test_discrete_onehot_decode(name):
+    scn = scenarios.load(name)
+    env = MpeEnv(scn, dtype=jnp.float64)
+    world = _ref_world(name)
+    rng = np.random.RandomState(1)
+    for _ in range(5):
+        # reference format: each agent gets only its own segments
+        action_n = []
+        for i in range(scn.spec.n_agents):
+            w = 5 if scn.spec.silent[i] else 5 + scn.spec.dim_c
+            action_n.append(rng.uniform(0, 1, w))
+        canonical = pack_actions(env, action_n)
+        u, c = decode_actions(scn.spec, canonical, ActionMode.DISCRETE, jnp.float64)
+        u_ref, c_ref = _ref_decode_all(env, world, action_n)
+        np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-12)
+
+
+def test_continuous_decode():
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn, action_mode=ActionMode.CONTINUOUS, dtype=jnp.float64)
+    world = _ref_world("simple_spread")
+    rng = np.random.RandomState(2)
+    action_n = [rng.uniform(-1, 1, 2) for _ in range(3)]
+    canonical = pack_actions(env, action_n)
+    u, c = decode_actions(scn.spec, canonical, ActionMode.CONTINUOUS, jnp.float64)
+    u_ref, c_ref = _ref_decode_all(env, world, action_n,
+                                   discrete_action_space=False)
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-12)
+
+
+def test_discrete_index_decode():
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn, action_mode=ActionMode.DISCRETE_INDEX, dtype=jnp.float64)
+    world = _ref_world("simple_spread")
+    for move in range(5):
+        action_n = [move, (move + 1) % 5, 0]
+        canonical = pack_actions(env, action_n)
+        u, c = decode_actions(scn.spec, canonical, ActionMode.DISCRETE_INDEX,
+                              jnp.float64)
+        u_ref, c_ref = _ref_decode_all(env, world, action_n,
+                                       discrete_action_input=True)
+        np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-12)
+
+
+def test_force_discrete_action_quantizes():
+    import dataclasses
+    scn = scenarios.load("simple")
+    spec = dataclasses.replace(scn.spec, force_discrete_action=True)
+    act = jnp.asarray([[0.1, 0.9, 0.2, 0.3, 0.1]], jnp.float64)
+    u, _ = decode_actions(spec, act, ActionMode.DISCRETE, jnp.float64)
+    np.testing.assert_allclose(np.asarray(u), [[5.0, 0.0]])  # argmax=1 -> +x * 5
+
+
+def test_accel_sensitivity_scaling():
+    # simple_tag adversaries accel 3.0, prey 4.0 (simple_tag.py:23)
+    scn = scenarios.load("simple_tag")
+    onehot = np.zeros((4, 5 + 2))
+    onehot[:, 1] = 1.0  # +x
+    u, _ = decode_actions(scn.spec, jnp.asarray(onehot), ActionMode.DISCRETE,
+                          jnp.float64)
+    np.testing.assert_allclose(np.asarray(u[:, 0]), [3.0, 3.0, 3.0, 4.0])
+
+
+def test_space_construction_matches_reference_shapes():
+    # per-scenario action space kinds (environment.py:38-66)
+    env = MpeEnv(scenarios.load("simple_spread"))
+    assert all(isinstance(s, spaces.Discrete) and s.n == 5
+               for s in env.action_spaces())
+    env = MpeEnv(scenarios.load("simple"))
+    [s] = env.action_spaces()
+    assert isinstance(s, spaces.Discrete) and s.n == 5
+    obs_space = env.observation_spaces()
+    assert obs_space[0].shape == (4,)

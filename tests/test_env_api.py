@@ -1,0 +1,97 @@
+"""Functional + wrapper env API tests (step contract, horizon, auto-reset,
+shared reward, vmap batching)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpe_tpu import make_env, scenarios
+from mpe_tpu.envs.functional import MpeEnv
+from mpe_tpu.envs.wrappers import VecMultiAgentEnv
+
+
+def test_make_env_step_contract():
+    env = make_env("simple_spread", seed=3)
+    obs_n = env.reset()
+    assert len(obs_n) == env.n == 3
+    assert all(o.shape == (18,) for o in obs_n)
+    acts = [np.eye(5)[1] for _ in range(3)]
+    obs_n, rew_n, done_n, info_n = env.step(acts)
+    assert len(rew_n) == 3 and len(done_n) == 3 and len(info_n["n"]) == 3
+    # collaborative: every agent same reward (environment.py:99-102)
+    assert rew_n[0] == rew_n[1] == rew_n[2]
+    assert not any(done_n)
+
+
+def test_benchmark_info_channel():
+    env = make_env("simple_spread", benchmark=True, seed=0)
+    env.reset()
+    _, _, _, info_n = env.step([np.zeros(5)] * 3)
+    assert set(info_n["n"][0]) == {"rew", "collisions", "min_dists",
+                                   "occupied_landmarks"}
+
+
+def test_horizon_and_autoreset():
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn, max_steps=5, auto_reset=True)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    act = jnp.zeros((1, 5))
+    for i in range(4):
+        key, k = jax.random.split(key)
+        state, obs, rew, done, _ = env.step(state, act, k)
+        assert not bool(done[0])
+        assert int(state.t) == i + 1
+    key, k = jax.random.split(key)
+    state, obs, rew, done, _ = env.step(state, act, k)
+    assert bool(done[0])          # horizon reached
+    assert int(state.t) == 0      # auto-reset back to fresh state
+    assert float(jnp.abs(state.vel).sum()) == 0.0
+
+
+def test_never_done_without_horizon():
+    # reference never terminates (environment.py:132-135)
+    env = MpeEnv(scenarios.load("simple"))
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    for _ in range(3):
+        state, _, _, done, _ = env.step(state, jnp.zeros((1, 5)))
+        assert not bool(done.any())
+
+
+def test_vec_env_lockstep_matches_single():
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn, dtype=jnp.float64)
+    vec = VecMultiAgentEnv(env, n_envs=4, seed=9)
+    obs = vec.reset()
+    assert obs.shape == (4, 3, 18)
+    states0 = vec.states
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (4, 3, 7), jnp.float64)
+    obs_b, rew_b, done_b, _ = vec.step(acts)
+    # compare env 2 against a single-env step from the same state
+    s2 = jax.tree.map(lambda x: x[2], states0)
+    _, obs_s, rew_s, done_s, _ = env.step(s2, acts[2])
+    np.testing.assert_allclose(np.asarray(obs_b[2]), np.asarray(obs_s),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(rew_b[2]), np.asarray(rew_s),
+                               rtol=1e-12)
+
+
+def test_reset_ranges_and_determinism():
+    scn = scenarios.load("simple_spread")
+    s1 = scn.reset(jax.random.PRNGKey(5))
+    s2 = scn.reset(jax.random.PRNGKey(5))
+    s3 = scn.reset(jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    assert not np.array_equal(np.asarray(s1.pos), np.asarray(s3.pos))
+    assert np.abs(np.asarray(s1.pos)).max() <= 1.0
+    np.testing.assert_array_equal(np.asarray(s1.vel), 0.0)
+    np.testing.assert_array_equal(np.asarray(s1.comm), 0.0)
+
+
+def test_eval_shape_obs_probe():
+    # space dims derived by probing the obs fn, the jax.eval_shape analogue
+    # of environment.py:68
+    for name in ("simple", "simple_spread"):
+        scn = scenarios.load(name)
+        shapes = scn.observation_shapes()
+        assert shapes == tuple((d,) for d in scn.obs_dims)
