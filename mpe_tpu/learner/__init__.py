@@ -1,0 +1,8 @@
+from mpe_tpu.learner.pg import (
+    init_policy,
+    policy_logits,
+    sample_actions,
+    build_train_step,
+)
+
+__all__ = ["init_policy", "policy_logits", "sample_actions", "build_train_step"]

@@ -1,0 +1,15 @@
+from mpe_tpu.parallel.mesh import (
+    env_mesh,
+    env_sharding,
+    build_rollout,
+    sharded_rollout,
+    fold_host_key,
+)
+
+__all__ = [
+    "env_mesh",
+    "env_sharding",
+    "build_rollout",
+    "sharded_rollout",
+    "fold_host_key",
+]

@@ -1,0 +1,134 @@
+"""Multi-chip scale-out: env-axis sharding over a device mesh.
+
+The reference has no distributed machinery of any kind — its only batching
+is ``BatchMultiAgentEnv``'s sequential Python loop (reference
+environment.py:309-322; SURVEY.md §2.4). The TPU-native scaling model:
+
+  - envs are embarrassingly parallel: a 1-D ``('env',)`` mesh, every
+    ``WorldState`` leaf sharded on its leading env axis;
+  - physics/scenario code never communicates across envs, so the compiled
+    program contains **zero collectives on the hot path** — XLA partitions
+    the vmapped step into purely local per-device compute;
+  - collectives appear only where they should: metric reductions
+    (``psum`` over the env axis) and trajectory hand-off to a learner
+    (see mpe_tpu.learner for a data-parallel training step with gradient
+    ``pmean`` over the same mesh);
+  - multi-host: same code under ``jax.distributed.initialize`` — each
+    host folds its process index into the key (``fold_host_key``) and
+    contributes its local devices to the global mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpe_tpu.envs.functional import MpeEnv
+
+
+def env_mesh(devices=None, axis_name: str = "env") -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def env_sharding(mesh: Mesh, axis_name: str = "env") -> NamedSharding:
+    """Shard the leading (env) axis of every pytree leaf over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def fold_host_key(key: jax.Array) -> jax.Array:
+    """Distinct per-host key stream for multi-host launches."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+def _uniform_actions(env: MpeEnv, key: jax.Array, n_envs: int) -> jax.Array:
+    from mpe_tpu.core.actions import ActionMode
+
+    shape = (n_envs, env.n_agents, env.action_width)
+    if env.action_mode is ActionMode.DISCRETE_INDEX:
+        return jax.random.randint(
+            key, shape, 0, 2 * env.spec.dim_p + 1, jnp.int32)
+    return jax.random.uniform(key, shape, env.dtype)
+
+
+def build_rollout(
+    env: MpeEnv,
+    n_envs: int,
+    n_steps: int,
+    policy: Callable | None = None,
+    return_trajectory: bool = False,
+    mesh: Mesh | None = None,
+    axis_name: str = "env",
+):
+    """Build a jitted on-device rollout: ``rollout(key) -> (states, out)``.
+
+    One ``lax.scan`` over ``n_steps`` of the fully vmapped env step — no
+    host round-trips anywhere (reset, action sampling/policy, step,
+    auto-reset all on device). ``policy(obs, key) -> actions`` defaults to
+    uniform-random actions. With ``return_trajectory`` the scan stacks
+    (obs, actions, rewards) — the trajectory batch a learner consumes;
+    otherwise only summed rewards (cheap bench mode).
+
+    With ``mesh``, state and trajectory are sharding-constrained to the
+    env axis so XLA partitions every step across devices.
+    """
+    constrain = (
+        partial(jax.lax.with_sharding_constraint,
+                shardings=env_sharding(mesh, axis_name))
+        if mesh is not None
+        else (lambda x: x)
+    )
+    v_reset = jax.vmap(env.reset)
+    v_step = jax.vmap(env.step)
+
+    def rollout(key: jax.Array):
+        kr, ks = jax.random.split(key)
+        states, obs = v_reset(jax.random.split(kr, n_envs))
+        states = jax.tree.map(constrain, states)
+
+        def body(carry, k):
+            states, obs = carry
+            ka, kstep = jax.random.split(k)
+            if policy is None:
+                actions = _uniform_actions(env, ka, n_envs)
+            else:
+                actions = policy(obs, ka)
+            states, obs, rew, done, _ = v_step(
+                states, actions, jax.random.split(kstep, n_envs))
+            states = jax.tree.map(constrain, states)
+            if return_trajectory:
+                out = {"obs": obs, "actions": actions, "reward": rew,
+                       "done": done}
+            else:
+                out = jnp.sum(rew)
+            return (states, obs), out
+
+        (states, obs), out = jax.lax.scan(
+            body, (states, obs), jax.random.split(ks, n_steps))
+        if return_trajectory:
+            out = jax.tree.map(constrain, out)  # [T, n_envs, ...] traj batch
+        else:
+            out = jnp.sum(out)
+        return states, out
+
+    return jax.jit(rollout)
+
+
+def sharded_rollout(
+    env: MpeEnv,
+    n_envs: int,
+    n_steps: int,
+    mesh: Mesh | None = None,
+    **kwargs,
+):
+    """``build_rollout`` over a mesh (defaults to all devices)."""
+    mesh = mesh if mesh is not None else env_mesh()
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0, f"n_envs {n_envs} not divisible by {n_dev} devices"
+    return build_rollout(env, n_envs, n_steps, mesh=mesh, **kwargs)

@@ -1,0 +1,339 @@
+"""Headless 2-D rasterizer — the rendering layer.
+
+Capability parity with reference multiagent/rendering.py (a pyglet/OpenGL
+immediate-mode renderer) without any GL/window dependency: the same
+``Viewer`` / ``Geom`` / ``Transform`` / ``make_*`` surface
+(rendering.py:45-317), drawing into a numpy RGB canvas with alpha
+blending and anti-aliased edges. ``render(return_rgb_array=True)``
+returns the frame like the reference's color-buffer readback
+(rendering.py:98-109); "display" is a no-op on headless machines (frames
+can be saved via ``SimpleImageViewer``).
+
+Pure NumPy on host — rendering is observability tooling, not a hot path;
+the simulation itself never leaves the device for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Attr:
+    def apply(self, pts: np.ndarray) -> np.ndarray:
+        return pts
+
+
+class Transform(Attr):
+    """translation/rotation/scale attr (rendering.py:176-212)."""
+
+    def __init__(self, translation=(0.0, 0.0), rotation=0.0, scale=(1.0, 1.0)):
+        self.translation = np.asarray(translation, np.float64)
+        self.rotation = float(rotation)
+        self.scale = np.asarray(scale, np.float64)
+
+    def set_translation(self, x, y):
+        self.translation = np.array([x, y], np.float64)
+
+    def set_rotation(self, rot):
+        self.rotation = float(rot)
+
+    def set_scale(self, sx, sy):
+        self.scale = np.array([sx, sy], np.float64)
+
+    def apply(self, pts):
+        c, s = np.cos(self.rotation), np.sin(self.rotation)
+        rot = np.array([[c, -s], [s, c]])
+        return (pts * self.scale) @ rot.T + self.translation
+
+
+class Color(Attr):
+    def __init__(self, vec4):
+        self.vec4 = vec4
+
+
+class Geom:
+    """Base drawable (rendering.py:153-174)."""
+
+    def __init__(self):
+        self._color = Color((0.0, 0.0, 0.0, 1.0))
+        self.attrs: list[Attr] = [self._color]
+
+    def add_attr(self, attr: Attr):
+        self.attrs.append(attr)
+        return self
+
+    def set_color(self, r, g, b, alpha=1.0):
+        self._color.vec4 = (r, g, b, alpha)
+        return self
+
+    def _world_points(self, pts):
+        for attr in self.attrs:
+            pts = attr.apply(pts)
+        return pts
+
+    def draw(self, canvas: "Canvas"):
+        raise NotImplementedError
+
+
+class FilledPolygon(Geom):
+    def __init__(self, points):
+        super().__init__()
+        self.points = np.asarray(points, np.float64)
+
+    def draw(self, canvas):
+        canvas.fill_polygon(self._world_points(self.points), self._color.vec4)
+
+
+class PolyLine(Geom):
+    def __init__(self, points, close: bool):
+        super().__init__()
+        self.points = np.asarray(points, np.float64)
+        self.close = close
+        self.linewidth = 1.0
+
+    def set_linewidth(self, w):
+        self.linewidth = float(w)
+        return self
+
+    def draw(self, canvas):
+        pts = self._world_points(self.points)
+        n = len(pts)
+        rng = range(n) if self.close else range(n - 1)
+        for i in rng:
+            canvas.line(pts[i], pts[(i + 1) % n], self._color.vec4,
+                        self.linewidth)
+
+
+class Line(Geom):
+    def __init__(self, start=(0.0, 0.0), end=(0.0, 0.0)):
+        super().__init__()
+        self.start = np.asarray(start, np.float64)
+        self.end = np.asarray(end, np.float64)
+        self.linewidth = 1.0
+
+    def draw(self, canvas):
+        a, b = self._world_points(np.stack([self.start, self.end]))
+        canvas.line(a, b, self._color.vec4, self.linewidth)
+
+
+class Image(Geom):
+    """Textured quad (rendering.py:306-317): an RGB array drawn into a
+    (width, height) world rect centered at the transform origin."""
+
+    def __init__(self, img: np.ndarray, width: float, height: float):
+        super().__init__()
+        self.img = np.asarray(img)
+        self.width = float(width)
+        self.height = float(height)
+
+    def draw(self, canvas):
+        corners = np.array(
+            [[-self.width / 2, -self.height / 2],
+             [self.width / 2, self.height / 2]])
+        canvas.blit(self._world_points(corners), self.img)
+
+
+# factory helpers (rendering.py:243-267)
+
+def make_circle(radius: float = 10, res: int = 30, filled: bool = True):
+    ang = np.linspace(0, 2 * np.pi, res, endpoint=False)
+    points = np.stack([np.cos(ang), np.sin(ang)], axis=-1) * radius
+    return FilledPolygon(points) if filled else PolyLine(points, True)
+
+
+def make_polygon(v, filled: bool = True):
+    return FilledPolygon(v) if filled else PolyLine(v, True)
+
+
+def make_polyline(v):
+    return PolyLine(v, False)
+
+
+def make_capsule(length: float, width: float):
+    """A box + two end circles approximated as one polygon
+    (rendering.py:253-260)."""
+    r = width / 2
+    ang_r = np.linspace(-np.pi / 2, np.pi / 2, 8)
+    ang_l = np.linspace(np.pi / 2, 3 * np.pi / 2, 8)
+    right = np.stack([length + r * np.cos(ang_r), r * np.sin(ang_r)], -1)
+    left = np.stack([r * np.cos(ang_l), r * np.sin(ang_l)], -1)
+    return FilledPolygon(np.concatenate([right, left]))
+
+
+class Canvas:
+    """Pixel buffer + world->pixel mapping with alpha blending."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.buf = np.ones((height, width, 3), np.float64)
+        self.set_bounds(-1, 1, -1, 1)
+
+    def set_bounds(self, left, right, bottom, top):
+        self.left, self.right, self.bottom, self.top = left, right, bottom, top
+        self.sx = self.width / (right - left)
+        self.sy = self.height / (top - bottom)
+
+    def to_px(self, pts):
+        pts = np.asarray(pts, np.float64)
+        x = (pts[..., 0] - self.left) * self.sx
+        y = (self.top - pts[..., 1]) * self.sy
+        return np.stack([x, y], axis=-1)
+
+    def _blend(self, rows, cols, cov, color):
+        r, g, b, a = color
+        w = (cov * a)[:, None]
+        self.buf[rows, cols] = self.buf[rows, cols] * (1 - w) + np.array(
+            [r, g, b]) * w
+
+    def fill_polygon(self, world_pts, color):
+        pts = self.to_px(world_pts)                   # [V, 2] px
+        x0 = max(int(np.floor(pts[:, 0].min())) - 1, 0)
+        x1 = min(int(np.ceil(pts[:, 0].max())) + 1, self.width - 1)
+        y0 = max(int(np.floor(pts[:, 1].min())) - 1, 0)
+        y1 = min(int(np.ceil(pts[:, 1].max())) + 1, self.height - 1)
+        if x1 < x0 or y1 < y0:
+            return
+        xs = np.arange(x0, x1 + 1) + 0.5
+        ys = np.arange(y0, y1 + 1) + 0.5
+        gx, gy = np.meshgrid(xs, ys)                  # [H', W']
+        # even-odd rule, vectorized over all edges
+        x_a, y_a = pts[:, 0], pts[:, 1]
+        x_b, y_b = np.roll(x_a, -1), np.roll(y_a, -1)
+        inside = np.zeros(gx.shape, bool)
+        for k in range(len(pts)):
+            cond = (y_a[k] > gy) != (y_b[k] > gy)
+            denom = y_b[k] - y_a[k]
+            if denom == 0:
+                continue
+            xint = x_a[k] + (gy - y_a[k]) / denom * (x_b[k] - x_a[k])
+            inside ^= cond & (gx < xint)
+        rows, cols = np.nonzero(inside)
+        self._blend(rows + y0, cols + x0, np.ones(len(rows)), color)
+
+    def line(self, a, b, color, width=1.0):
+        pa, pb = self.to_px(a), self.to_px(b)
+        d = pb - pa
+        length = np.hypot(*d)
+        n = max(int(length * 2), 2)
+        t = np.linspace(0, 1, n)[:, None]
+        pts = pa + t * d
+        half = max(width / 2, 0.5)
+        for px, py in pts:
+            r0, r1 = int(py - half), int(py + half) + 1
+            c0, c1 = int(px - half), int(px + half) + 1
+            r0, c0 = max(r0, 0), max(c0, 0)
+            r1 = min(r1, self.height)
+            c1 = min(c1, self.width)
+            if r1 > r0 and c1 > c0:
+                rows, cols = np.mgrid[r0:r1, c0:c1]
+                self._blend(rows.ravel(), cols.ravel(),
+                            np.ones(rows.size), color)
+
+    def blit(self, world_corners, img):
+        (x0, y0), (x1, y1) = self.to_px(world_corners)
+        c0, c1 = int(min(x0, x1)), int(max(x0, x1))
+        r0, r1 = int(min(y0, y1)), int(max(y0, y1))
+        c0, r0 = max(c0, 0), max(r0, 0)
+        c1, r1 = min(c1, self.width), min(r1, self.height)
+        if r1 <= r0 or c1 <= c0:
+            return
+        h, w = r1 - r0, c1 - c0
+        ri = (np.arange(h) * img.shape[0] // max(h, 1))
+        ci = (np.arange(w) * img.shape[1] // max(w, 1))
+        patch = img[ri][:, ci, :3].astype(np.float64)
+        if patch.max() > 1.0:
+            patch = patch / 255.0
+        self.buf[r0:r1, c0:c1] = patch
+
+    def rgb_array(self) -> np.ndarray:
+        return (np.clip(self.buf, 0, 1) * 255).astype(np.uint8)
+
+
+class Viewer:
+    """Drop-in for the reference Viewer (rendering.py:45-145)."""
+
+    def __init__(self, width: int = 700, height: int = 700):
+        self.canvas = Canvas(width, height)
+        self.geoms: list[Geom] = []
+        self.onetime_geoms: list[Geom] = []
+        self.isopen = True
+
+    def set_bounds(self, left, right, bottom, top):
+        self.canvas.set_bounds(left, right, bottom, top)
+
+    def add_geom(self, geom: Geom):
+        self.geoms.append(geom)
+
+    def add_onetime(self, geom: Geom):
+        self.onetime_geoms.append(geom)
+
+    # one-shot draw helpers (rendering.py:114-135)
+    def draw_circle(self, radius=10, res=30, filled=True, **attrs):
+        geom = make_circle(radius, res, filled)
+        _add_attrs(geom, attrs)
+        self.add_onetime(geom)
+        return geom
+
+    def draw_polygon(self, v, filled=True, **attrs):
+        geom = make_polygon(v, filled)
+        _add_attrs(geom, attrs)
+        self.add_onetime(geom)
+        return geom
+
+    def draw_polyline(self, v, **attrs):
+        geom = make_polyline(v)
+        _add_attrs(geom, attrs)
+        self.add_onetime(geom)
+        return geom
+
+    def draw_line(self, start, end, **attrs):
+        geom = Line(start, end)
+        _add_attrs(geom, attrs)
+        self.add_onetime(geom)
+        return geom
+
+    def render(self, return_rgb_array: bool = False):
+        self.canvas.buf[:] = 1.0
+        for geom in self.geoms:
+            geom.draw(self.canvas)
+        for geom in self.onetime_geoms:
+            geom.draw(self.canvas)
+        self.onetime_geoms = []
+        arr = self.canvas.rgb_array()
+        return arr if return_rgb_array else self.isopen
+
+    def close(self):
+        self.isopen = False
+
+    @property
+    def window(self):  # keyboard-policy hook point (policy.py:21-22)
+        return None
+
+
+def _add_attrs(geom, attrs):
+    if "color" in attrs:
+        geom.set_color(*attrs["color"])
+    if "linewidth" in attrs and hasattr(geom, "set_linewidth"):
+        geom.set_linewidth(attrs["linewidth"])
+
+
+class SimpleImageViewer:
+    """Headless stand-in for rendering.py:321-345: keeps the last frame
+    and can save it to disk."""
+
+    def __init__(self, display=None):
+        self.last_frame = None
+        self.isopen = False
+
+    def imshow(self, arr: np.ndarray):
+        self.last_frame = np.asarray(arr)
+        self.isopen = True
+
+    def save(self, path: str):
+        from PIL import Image as PILImage
+
+        PILImage.fromarray(self.last_frame).save(path)
+
+    def close(self):
+        self.isopen = False

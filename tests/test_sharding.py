@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(tests/conftest.py sets --xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpe_tpu import scenarios
+from mpe_tpu.envs.functional import MpeEnv
+from mpe_tpu.parallel import (
+    build_rollout, env_mesh, env_sharding, sharded_rollout)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_rollout_runs_and_is_sharded():
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=10, auto_reset=True)
+    mesh = env_mesh()
+    rollout = sharded_rollout(env, n_envs=64, n_steps=12, mesh=mesh)
+    states, rew_sum = rollout(jax.random.PRNGKey(0))
+    assert states.pos.shape == (64, 6, 2)
+    # state actually lives sharded over the env axis
+    sh = states.pos.sharding
+    assert sh.is_equivalent_to(env_sharding(mesh), ndim=states.pos.ndim)
+    assert np.isfinite(float(rew_sum))
+
+
+def test_sharded_matches_unsharded():
+    env = MpeEnv(scenarios.load("simple_spread"), dtype=jnp.float64)
+    key = jax.random.PRNGKey(3)
+    r_plain = build_rollout(env, n_envs=16, n_steps=8)
+    r_shard = sharded_rollout(env, n_envs=16, n_steps=8)
+    s1, o1 = r_plain(key)
+    s2, o2 = r_shard(key)
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(o1), float(o2), rtol=1e-9)
+
+
+def test_trajectory_emission_sharded():
+    env = MpeEnv(scenarios.load("simple_tag"))
+    mesh = env_mesh()
+    rollout = sharded_rollout(env, n_envs=32, n_steps=5, mesh=mesh,
+                              return_trajectory=True)
+    states, traj = rollout(jax.random.PRNGKey(1))
+    assert traj["obs"].shape == (5, 32, 4, 16)
+    assert traj["reward"].shape == (5, 32, 4)
+    assert traj["obs"].sharding.spec[1] is not None or \
+        traj["obs"].sharding.is_equivalent_to(
+            env_sharding(mesh), ndim=4) is False  # sharded on some axis
+
+
+def test_dp_train_step_improves_or_runs():
+    from mpe_tpu.learner import build_train_step, init_policy
+
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
+                         env.action_width, hidden=16)
+    train = build_train_step(env, mesh, n_envs=16, n_steps=5, lr=1e-2)
+    key = jax.random.PRNGKey(1)
+    p1, loss1 = train(params, key)
+    p2, loss2 = train(p1, jax.random.fold_in(key, 1))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    # params actually changed (gradients flowed through the collective)
+    delta = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, params, p1), 0.0)
+    assert delta > 0
