@@ -51,16 +51,17 @@ def pack_actions(env: MpeEnv, action_n: Sequence[Any]) -> jax.Array:
     rows = np.zeros((a, env.action_width), np.float64)
     for i, act in enumerate(action_n):
         act = np.asarray(act, np.float64).ravel()
+        expected = (move_w if spec.movable[i] else 0) + (
+            0 if spec.silent[i] else spec.dim_c)
+        assert len(act) == expected, (
+            f"agent {i}: action length {len(act)} != expected {expected}"
+        )  # the reference's assert len(action)==0 (environment.py:192)
         j = 0
         if spec.movable[i]:
             rows[i, :move_w] = act[:move_w]
             j = move_w
         if not spec.silent[i]:
             rows[i, move_w:] = act[j : j + spec.dim_c]
-            j += spec.dim_c
-        assert j == len(act), (
-            f"agent {i}: action length {len(act)} != expected {j}"
-        )  # the reference's assert len(action)==0 (environment.py:192)
     return jnp.asarray(rows, env.dtype)
 
 
@@ -102,6 +103,8 @@ class MultiAgentEnv:
         self.state = None
         self.time = 0
         self._viewers = [None] * (1 if shared_viewer else self.n)
+        self._render_geoms = None
+        self._render_xforms = None
 
     # ------------------------------------------------------------------
     def seed(self, seed: int):
@@ -114,6 +117,9 @@ class MultiAgentEnv:
     def reset(self) -> list[np.ndarray]:
         self.state, obs = self._jit_reset(self._next_key())
         self.time = 0
+        # drop cached render geoms (reference _reset_render, env.py:195-197)
+        self._render_geoms = None
+        self._render_xforms = None
         return self._split_obs(obs)
 
     def step(self, action_n: Sequence[Any]):

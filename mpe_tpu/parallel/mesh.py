@@ -47,14 +47,20 @@ def fold_host_key(key: jax.Array) -> jax.Array:
     return jax.random.fold_in(key, jax.process_index())
 
 
-def _uniform_actions(env: MpeEnv, key: jax.Array, n_envs: int) -> jax.Array:
+def _uniform_actions(
+    env: MpeEnv, key: jax.Array, n_envs: int, env_axis: int = 0
+) -> jax.Array:
     from mpe_tpu.core.actions import ActionMode
 
+    # always draw in canonical [n_envs, A, W] shape so the sampled values
+    # are identical across layouts, then transpose for env-minor
     shape = (n_envs, env.n_agents, env.action_width)
     if env.action_mode is ActionMode.DISCRETE_INDEX:
-        return jax.random.randint(
+        acts = jax.random.randint(
             key, shape, 0, 2 * env.spec.dim_p + 1, jnp.int32)
-    return jax.random.uniform(key, shape, env.dtype)
+    else:
+        acts = jax.random.uniform(key, shape, env.dtype)
+    return acts if env_axis == 0 else jnp.moveaxis(acts, 0, -1)
 
 
 def build_rollout(
@@ -65,6 +71,7 @@ def build_rollout(
     return_trajectory: bool = False,
     mesh: Mesh | None = None,
     axis_name: str = "env",
+    env_axis: int = 0,
 ):
     """Build a jitted on-device rollout: ``rollout(key) -> (states, out)``.
 
@@ -75,17 +82,30 @@ def build_rollout(
     (obs, actions, rewards) — the trajectory batch a learner consumes;
     otherwise only summed rewards (cheap bench mode).
 
+    ``env_axis`` picks the batch-axis position for state/obs/action
+    tensors. The TPU vector unit tiles the two minor-most dims (8, 128):
+    with the default env-leading layout (``env_axis=0``), leaves like
+    ``pos[n_envs, E, 2]`` put tiny entity dims in the lanes and waste
+    >90% of each tile. ``env_axis=-1`` (env-minor, e.g. ``pos[E, 2,
+    n_envs]``) fills the 128-wide lanes with envs — measured >2x faster
+    on a v5e chip. Outputs/trajectories follow the same layout.
+
     With ``mesh``, state and trajectory are sharding-constrained to the
     env axis so XLA partitions every step across devices.
     """
-    constrain = (
-        partial(jax.lax.with_sharding_constraint,
-                shardings=env_sharding(mesh, axis_name))
-        if mesh is not None
-        else (lambda x: x)
-    )
-    v_reset = jax.vmap(env.reset)
-    v_step = jax.vmap(env.step)
+    assert env_axis in (0, -1)
+    if mesh is not None:
+        def constrain(x):
+            ax = 0 if env_axis == 0 else x.ndim - 1
+            sh = NamedSharding(
+                mesh, P(*([None] * ax), axis_name))
+            return jax.lax.with_sharding_constraint(x, sh)
+    else:
+        def constrain(x):
+            return x
+    v_reset = jax.vmap(env.reset, in_axes=0, out_axes=env_axis)
+    step_ax = (env_axis, env_axis, 0)
+    v_step = jax.vmap(env.step, in_axes=step_ax, out_axes=env_axis)
 
     def rollout(key: jax.Array):
         kr, ks = jax.random.split(key)
@@ -96,7 +116,7 @@ def build_rollout(
             states, obs = carry
             ka, kstep = jax.random.split(k)
             if policy is None:
-                actions = _uniform_actions(env, ka, n_envs)
+                actions = _uniform_actions(env, ka, n_envs, env_axis)
             else:
                 actions = policy(obs, ka)
             states, obs, rew, done, _ = v_step(
@@ -112,7 +132,14 @@ def build_rollout(
         (states, obs), out = jax.lax.scan(
             body, (states, obs), jax.random.split(ks, n_steps))
         if return_trajectory:
-            out = jax.tree.map(constrain, out)  # [T, n_envs, ...] traj batch
+            # trajectory leaves are [T, <step output>]: env axis is 1 for
+            # env-leading layout, last for env-minor
+            if mesh is not None:
+                def traj_constrain(x):
+                    ax = 1 if env_axis == 0 else x.ndim - 1
+                    sh = NamedSharding(mesh, P(*([None] * ax), axis_name))
+                    return jax.lax.with_sharding_constraint(x, sh)
+                out = jax.tree.map(traj_constrain, out)
         else:
             out = jnp.sum(out)
         return states, out

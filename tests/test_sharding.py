@@ -70,3 +70,27 @@ def test_dp_train_step_improves_or_runs():
         lambda acc, x: acc + float(jnp.abs(x).sum()),
         jax.tree.map(lambda a, b: a - b, params, p1), 0.0)
     assert delta > 0
+
+
+def test_env_minor_layout_matches_env_leading():
+    # env_axis=-1 is the TPU-fast layout (lanes filled with envs); it must
+    # be numerically identical to the default env-leading layout
+    env = MpeEnv(scenarios.load("simple_spread"), dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    s0, o0 = build_rollout(env, n_envs=8, n_steps=6)(key)
+    s1, o1 = build_rollout(env, n_envs=8, n_steps=6, env_axis=-1)(key)
+    np.testing.assert_allclose(np.asarray(s0.pos),
+                               np.moveaxis(np.asarray(s1.pos), -1, 0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(o0), float(o1), rtol=1e-9)
+
+
+def test_env_minor_sharded_trajectory():
+    env = MpeEnv(scenarios.load("simple_spread"))
+    mesh = env_mesh()
+    rollout = sharded_rollout(env, n_envs=16, n_steps=3, mesh=mesh,
+                              return_trajectory=True, env_axis=-1)
+    states, traj = rollout(jax.random.PRNGKey(0))
+    # env-minor: obs [T, A, O, N]
+    assert traj["obs"].shape == (3, 3, 18, 16)
+    assert states.pos.shape == (6, 2, 16)
