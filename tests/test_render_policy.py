@@ -1,0 +1,106 @@
+"""Rendering + interactive-policy layer tests (reference rendering.py /
+policy.py / bin/interactive.py equivalents)."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from mpe_tpu import make_env
+from mpe_tpu.policy import InteractivePolicy, RandomPolicy, ScriptedKeySource
+from mpe_tpu.render import comm_transcript, make_circle, Viewer, Transform
+
+
+def test_render_rgb_array_shapes_and_colors():
+    env = make_env("simple_spread", seed=0)
+    env.reset()
+    frames = env.render("rgb_array")
+    assert len(frames) == 1  # shared viewer
+    assert frames[0].shape == (700, 700, 3) and frames[0].dtype == np.uint8
+    # agents + landmarks drawn: frame is not all-white
+    assert (frames[0] < 250).any()
+
+
+def test_render_per_agent_viewers():
+    env = make_env("simple_adversary", seed=1, shared_viewer=False)
+    env.reset()
+    frames = env.render("rgb_array")
+    assert len(frames) == env.n
+    # per-agent cameras center on different positions -> frames differ
+    assert any((frames[0] != f).any() for f in frames[1:])
+
+
+def test_render_geoms_rebuilt_after_reset():
+    env = make_env("simple", seed=0)
+    env.reset()
+    env.render("rgb_array")
+    assert env._render_geoms is not None
+    env.reset()  # reference _reset_render drops cached geoms (env.py:195-197)
+    assert env._render_geoms is None
+
+
+def test_comm_transcript():
+    env = make_env("simple_reference", seed=0)
+    env.reset()
+    comm = np.zeros((2, 10))
+    msg = comm_transcript(env.world_spec, comm)
+    assert "agent 0 to agent 1: _" in msg
+    comm[0, 3] = 1.0
+    assert "agent 0 to agent 1: d" in comm_transcript(env.world_spec, comm)
+
+
+def test_viewer_draws_circle():
+    v = Viewer(64, 64)
+    geom = make_circle(0.5)
+    geom.set_color(1.0, 0.0, 0.0)
+    geom.add_attr(Transform(translation=(0.0, 0.0)))
+    v.add_geom(geom)
+    arr = v.render(return_rgb_array=True)
+    assert arr.shape == (64, 64, 3)
+    center = arr[32, 32]
+    assert center[0] > 200 and center[1] < 100  # red disk at center
+
+
+def test_interactive_policy_reference_key_conventions():
+    env = make_env("simple", seed=0)
+    # one key per step: right, up, nothing (reference policy.py:32-39:
+    # left->u[1], right->u[2], down->u[3], up->u[4])
+    pol = InteractivePolicy(env, 0, ScriptedKeySource(["right", "up", []]))
+    a1 = pol.action(None)
+    np.testing.assert_array_equal(a1, [0, 0, 1, 0, 0])
+    a2 = pol.action(None)
+    np.testing.assert_array_equal(a2, [0, 0, 0, 0, 1])
+    a3 = pol.action(None)
+    np.testing.assert_array_equal(a3, [1, 0, 0, 0, 0])  # idle -> u[0]
+
+
+def test_interactive_policy_steps_env():
+    env = make_env("simple_spread", seed=0)
+    obs_n = env.reset()
+    pols = [InteractivePolicy(env, i, ScriptedKeySource([["left"]] * 3))
+            for i in range(env.n)]
+    acts = [p.action(obs_n[i]) for i, p in enumerate(pols)]
+    obs_n, rew_n, done_n, _ = env.step(acts)
+    assert len(obs_n) == 3 and np.isfinite(rew_n).all()
+
+
+def test_random_policy_all_scenarios():
+    from mpe_tpu import scenarios as registry
+
+    for name in registry.names():
+        env = make_env(name, seed=0)
+        obs_n = env.reset()
+        pols = [RandomPolicy(env, i, seed=3) for i in range(env.n)]
+        for _ in range(2):
+            acts = [p.action(obs_n[i]) for i, p in enumerate(pols)]
+            obs_n, rew_n, done_n, _ = env.step(acts)
+        assert np.isfinite(rew_n).all(), name
+
+
+def test_interactive_cli_headless():
+    out = subprocess.run(
+        [sys.executable, "bin/interactive.py", "--scenario", "simple.py",
+         "--steps", "2", "--headless", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "t=1 rewards=" in out.stdout
