@@ -50,7 +50,10 @@ def measure_reference(n: int = 3000) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def measure_tpu(n_envs: int, n_steps: int, repeats: int = 5) -> float:
+def measure_xla_path(n_envs: int, n_steps: int, repeats: int = 3) -> float:
+    """Generic engine: jitted lax.scan over the vmapped env step
+    (env-minor layout — envs fill the 128-wide TPU vector lanes,
+    measured >2x over env-leading on v5e)."""
     import jax
 
     from mpe_tpu import scenarios
@@ -58,8 +61,6 @@ def measure_tpu(n_envs: int, n_steps: int, repeats: int = 5) -> float:
     from mpe_tpu.parallel import build_rollout
 
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=100, auto_reset=True)
-    # env-minor layout: envs fill the 128-wide TPU vector lanes (see
-    # build_rollout docstring) — measured >2x over env-leading on v5e
     rollout = build_rollout(env, n_envs=n_envs, n_steps=n_steps, env_axis=-1)
     key = jax.random.PRNGKey(0)
     # compile + warmup; float() forces a device->host sync (the tunneled
@@ -70,6 +71,25 @@ def measure_tpu(n_envs: int, n_steps: int, repeats: int = 5) -> float:
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         float(rollout(k)[1])
+        dt = time.perf_counter() - t0
+        best = max(best, n_envs * n_steps / dt)
+    return best
+
+
+def measure_fused(n_envs: int, n_steps: int, repeats: int = 3) -> float:
+    """Fused engine: the Pallas multi-step rollout kernel — whole rollout
+    VMEM-resident, on-chip PRNG, per-lane auto-reset (ops/fused_rollout)."""
+    from mpe_tpu import scenarios
+    from mpe_tpu.ops.fused_rollout import fused_spread_rollout
+
+    spec = scenarios.load("simple_spread").spec
+    run = fused_spread_rollout(spec, n_envs=n_envs, n_steps=n_steps,
+                               horizon=100, block_envs=1024)
+    float(run(0)[2].sum())  # compile + warmup
+    best = 0.0
+    for i in range(1, repeats + 1):
+        t0 = time.perf_counter()
+        float(run(i)[2].sum())
         dt = time.perf_counter() - t0
         best = max(best, n_envs * n_steps / dt)
     return best
@@ -90,7 +110,12 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    value = measure_tpu(args.n_envs, args.n_steps)
+    xla = measure_xla_path(args.n_envs, args.n_steps)
+    print(f"xla-scan path: {xla/1e6:.1f} M env-steps/s", file=sys.stderr)
+    fused = measure_fused(args.n_envs, args.n_steps)
+    print(f"pallas fused rollout: {fused/1e6:.1f} M env-steps/s",
+          file=sys.stderr)
+    value = max(xla, fused)
     print(json.dumps({
         "metric": "env-steps/s per chip (simple_spread N=3, 4096 envs)",
         "value": round(value, 1),

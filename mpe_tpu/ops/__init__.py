@@ -1,0 +1,8 @@
+"""TPU kernel ops: env-minor batched step primitives + Pallas fused
+rollout kernels (the hot path of SURVEY.md §2.4's "optional Pallas kernel
+for the fused pairwise-force + observation-gather step")."""
+
+from mpe_tpu.ops.batched import batched_spread_step
+from mpe_tpu.ops.fused_rollout import fused_spread_rollout
+
+__all__ = ["batched_spread_step", "fused_spread_rollout"]

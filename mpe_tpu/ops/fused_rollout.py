@@ -1,0 +1,302 @@
+"""Pallas fused multi-step rollout kernel.
+
+Why: the XLA scan path moves ~22 MB of HBM traffic per vmapped step
+(measured cost analysis) against ~0.5 MB of live state — intermediates
+(the [E,E,P,N] pairwise tensor, fresh auto-reset states, RNG blocks)
+round-trip through HBM every step, so the rollout is bandwidth-bound at
+~34 µs/step for 4096 envs. This kernel runs the whole rollout with state
+resident in VMEM: the only HBM traffic is the seed in and the final
+state + reward accumulator out, independent of step count.
+
+Design (per /opt/skills/guides/pallas_guide.md):
+  - grid over env blocks: each program owns ``block_envs`` lanes of the
+    env axis (env-minor layout ``[..., N]`` filling the 128-wide lanes).
+  - ``jax.lax.fori_loop`` over steps inside the kernel.
+  - every ScenarioSpec table is **baked in at trace time as Python
+    scalars** (sizes, accel, damping, contact force) with the tiny
+    pairwise loops unrolled — Pallas kernels cannot capture array
+    constants, and scalar specialization is faster anyway (no runtime
+    masking at all; landmarks never move in simple_spread so they are
+    never integrated).
+  - on-chip PRNG (pltpu.prng_seed / prng_random_bits) for uniform-random
+    actions and episode auto-reset resampling, seeded per (block,
+    rollout). RNG *streams* therefore differ from the jax.random path —
+    distributionally identical, not bitwise (documented divergence;
+    parity tests run the plain path).
+  - auto-reset via per-lane masks after ``horizon`` steps, fully on-chip
+    (the reference has no termination, environment.py:132-135; horizon
+    matches ``MpeEnv(max_steps=..., auto_reset=True)``).
+
+Scope: simple_spread — the benchmark scenario (BASELINE.json metric).
+``spread_step_block`` is importable plain-jnp math, unit-tested against
+the vmapped reference path; only the RNG + loop shell is Pallas-specific.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpe_tpu.core.state import ScenarioSpec
+
+
+def spread_step_block(spec: ScenarioSpec, apos, avel, lpos, move):
+    """One simple_spread step on an env-minor block, array-constant-free.
+
+    apos/avel: [A, P, N] agent pos/vel; lpos: [L, P, N] landmark pos
+    (landmarks are non-movable in spread — core.py integration skips
+    them); move: [A, 5, N] one-hot-ish moves. Returns (apos, avel,
+    reward [1, N] shared, obs [A, 18, N]). Semantics: core.py:117-196 +
+    simple_spread.py:72-100 + environment.py:99-102 shared reward.
+    """
+    a, l = spec.n_agents, spec.n_landmarks
+    dtype = apos.dtype
+    n = apos.shape[-1]
+
+    # ---- decode (environment.py:174-181): per-agent scalar sensitivity
+    # u[k] = a[2k+1] - a[2k+2]; static column picks (strided slices lower
+    # as >2D gathers, which Mosaic rejects)
+    u = jnp.stack([move[:, 1] - move[:, 2], move[:, 3] - move[:, 4]],
+                  axis=1)                                    # [A, P, N]
+    accel = [float(x) for x in spec.accel]
+    if len(set(accel)) == 1:
+        u = u * accel[0]
+    else:
+        u = jnp.stack([u[i] * accel[i] for i in range(a)])
+
+    # ---- pairwise agent-agent soft collisions, unrolled i<j
+    # (core.py:143-155, 180-196; only agents collide in spread)
+    k = float(spec.contact_margin)
+    cf = float(spec.contact_force)
+    rows = [u[i] for i in range(a)]
+    for i in range(a):
+        for j in range(i + 1, a):
+            if not (spec.collide[i] and spec.collide[j]):
+                continue
+            delta = apos[i] - apos[j]                        # [P, N]
+            dist = jnp.sqrt(jnp.sum(jnp.square(delta), axis=0,
+                                    keepdims=True))          # [1, N]
+            dmin = float(spec.size[i] + spec.size[j])
+            pen = jnp.logaddexp(jnp.zeros((), dtype), -(dist - dmin) / k) * k
+            f = (cf * pen / jnp.maximum(dist, 1e-30)) * delta
+            rows[i] = rows[i] + f
+            rows[j] = rows[j] - f
+    force = jnp.stack(rows)                                  # [A, P, N]
+
+    # ---- integrate (core.py:158-169); spread agents: mass 1, no clamp
+    damping = float(spec.damping)
+    dt = float(spec.dt)
+    masses = [float(m) for m in spec.initial_mass[:a]]
+    if len(set(masses)) == 1 and masses[0] == 1.0:
+        avel = avel * (1.0 - damping) + force * dt
+    else:
+        inv = jnp.stack([force[i] / masses[i] for i in range(a)])
+        avel = avel * (1.0 - damping) + inv * dt
+    if np.isfinite(spec.max_speed[:a]).any():
+        speed = jnp.sqrt(jnp.sum(jnp.square(avel), axis=1, keepdims=True))
+        clamped = []
+        for i in range(a):
+            ms = float(spec.max_speed[i])
+            if np.isfinite(ms):
+                over = speed[i] > ms
+                clamped.append(jnp.where(
+                    over, avel[i] / jnp.maximum(speed[i], 1e-30) * ms,
+                    avel[i]))
+            else:
+                clamped.append(avel[i])
+        avel = jnp.stack(clamped)
+    apos = apos + avel * dt
+
+    # ---- reward (simple_spread.py:72-82 + shared sum env.py:99-102)
+    # -sum_L min_A dist, unrolled over the tiny static counts
+    # (jnp.min over the leading axis of [A, L, N] trips a Mosaic
+    # "invalid relayout" bug on v5e; the unrolled form is also faster —
+    # no [A, L, N] materialization)
+    base = jnp.zeros((1, n), dtype)
+    d_al = {}
+    for j in range(l):
+        dj = None
+        for i in range(a):
+            d = jnp.sqrt(jnp.sum(jnp.square(apos[i] - lpos[j]), axis=0,
+                                 keepdims=True))             # [1, N]
+            d_al[(i, j)] = d
+            dj = d if dj is None else jnp.minimum(dj, d)
+        base = base - dj
+    # collisions incl. the self-collision quirk: self always collides
+    # (dist 0 < 2*size), contributing a constant -1 per agent. Distances
+    # are recomputed on the POST-step positions — the reference rewards
+    # after world.step() (environment.py:90-94)
+    coll_total = jnp.zeros((1, n), dtype)
+    for i in range(a):
+        for j in range(i + 1, a):
+            if spec.collide[i] and spec.collide[j]:
+                d2 = jnp.sum(jnp.square(apos[i] - apos[j]), axis=0,
+                             keepdims=True)
+                thresh2 = float(spec.size[i] + spec.size[j]) ** 2
+                coll_total = coll_total + 2.0 * (d2 < thresh2).astype(dtype)
+    # shared reward is identical across agents — keep it [1, N] (a
+    # broadcast to [A, N] here trips a Mosaic relayout bug; callers that
+    # need per-agent rows broadcast outside the kernel)
+    reward = a * base - coll_total - float(a)                # [1, N]
+
+    # ---- obs (simple_spread.py:84-100): [vel, pos, L rel, others, comm]
+    obs_rows = []
+    for i in range(a):
+        parts = [avel[i], apos[i]]
+        for j in range(l):
+            parts.append(lpos[j] - apos[i])
+        for j in range(a):
+            if j != i:
+                parts.append(apos[j] - apos[i])
+        parts.append(jnp.zeros(((a - 1) * spec.dim_c, n), dtype))
+        obs_rows.append(jnp.concatenate(parts, axis=0))
+    obs = jnp.stack(obs_rows)                                # [A, 18, N]
+    return apos, avel, reward, obs
+
+
+def _uniform(shape, dtype=jnp.float32):
+    """U[0,1) from on-chip PRNG bits (24-bit mantissa path)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # values < 2^24 after the shift, so an int32 view casts losslessly
+    # (Mosaic has no uint32 -> float32 cast)
+    top24 = pltpu.bitcast(
+        jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+    return top24.astype(dtype) * dtype(2.0 ** -24)
+
+
+def _hash_uniform(salt, shape, dtype=jnp.float32):
+    """Interpret-mode stand-in for the hardware PRNG: a stateless
+    murmur-style hash of (salt, element index). Only used when
+    ``interpret=True`` — CPU has no lowering for prng_seed/_random_bits."""
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    for d in range(1, len(shape)):
+        x = x * shape[d] + jax.lax.broadcasted_iota(jnp.int32, shape, d)
+    h = x.astype(jnp.uint32) + salt.astype(jnp.uint32) * jnp.uint32(2654435761)
+    for c in (0x85EBCA6B, 0xC2B2AE35):
+        h = h ^ jax.lax.shift_right_logical(h, jnp.uint32(16))
+        h = h * jnp.uint32(c)
+    h = h ^ jax.lax.shift_right_logical(h, jnp.uint32(16))
+    return (jax.lax.shift_right_logical(h, jnp.uint32(8)).astype(dtype)
+            * dtype(2.0 ** -24))
+
+
+def _spread_rollout_kernel(
+    seed_ref, pos_out, vel_out, rew_out, obs_sum_out,
+    *, spec: ScenarioSpec, n_steps: int, horizon: int, block_envs: int,
+    interpret: bool = False,
+):
+    a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
+    n = block_envs
+    f32 = jnp.float32
+
+    if interpret:
+        base_salt = (seed_ref[0] * jnp.int32(7919)
+                     + pl.program_id(0) * jnp.int32(104729))
+
+        def uniform(shape, step, call_id):
+            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
+            return _hash_uniform(salt, shape)
+    else:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def uniform(shape, step, call_id):
+            return _uniform(shape)
+
+    def sample_pos(rows, step, call_id):
+        # uniform [-1, 1) (simple_spread.py:39-45 reset_world)
+        return uniform((rows, p, n), step, call_id) * 2.0 - 1.0
+
+    zero = jnp.zeros((), jnp.int32)
+    carry0 = (
+        sample_pos(a, zero, 0),           # agent pos
+        jnp.zeros((a, p, n), f32),        # agent vel
+        sample_pos(l, zero, 1),           # landmark pos
+        jnp.zeros((1, n), jnp.int32),     # per-lane step count
+        jnp.zeros((1, n), f32),           # shared-reward accumulator
+        jnp.zeros((1, n), f32),           # obs checksum accumulator
+    )
+
+    def body(step, carry):
+        apos, avel, lpos, t, rew_acc, obs_acc = carry
+        move = uniform((a, 2 * p + 1, n), step, 2)
+        apos, avel, rew, obs = spread_step_block(spec, apos, avel, lpos, move)
+        rew_acc = rew_acc + rew
+        obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
+                                    keepdims=True)
+        # horizon + per-lane auto-reset, fully on-chip
+        t = t + 1
+        done = t >= horizon                                   # [1, n]
+        apos = jnp.where(done[None], sample_pos(a, step, 3), apos)
+        lpos = jnp.where(done[None], sample_pos(l, step, 4), lpos)
+        avel = jnp.where(done[None], jnp.zeros_like(avel), avel)
+        t = jnp.where(done, 0, t)
+        return apos, avel, lpos, t, rew_acc, obs_acc
+
+    apos, avel, lpos, t, rew_acc, obs_acc = jax.lax.fori_loop(
+        0, n_steps, body, carry0)
+    pos_out[:] = jnp.concatenate([apos, lpos], axis=0)
+    vel_out[:] = jnp.concatenate([avel, jnp.zeros_like(lpos)], axis=0)
+    rew_out[:] = rew_acc
+    obs_sum_out[:] = obs_acc
+
+
+def fused_spread_rollout(
+    spec: ScenarioSpec,
+    n_envs: int,
+    n_steps: int,
+    horizon: int = 100,
+    block_envs: int = 1024,
+    interpret: bool = False,
+):
+    """Build the fused rollout: ``run(seed) -> (pos, vel, rew_sum,
+    obs_checksum)`` with pos/vel env-minor ``[E, P, n_envs]``.
+
+    The obs checksum output keeps observation assembly live (it would
+    otherwise be dead code under a random policy) so the bench measures
+    the full step: decode + physics + reward + obs.
+    """
+    assert n_envs % block_envs == 0, (n_envs, block_envs)
+    n_blocks = n_envs // block_envs
+    e, p, a = spec.n_entities, spec.dim_p, spec.n_agents
+
+    kernel = functools.partial(
+        _spread_rollout_kernel, spec=spec, n_steps=n_steps,
+        horizon=horizon, block_envs=block_envs, interpret=interpret)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_envs), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_envs), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(seed):
+        return call(jnp.asarray([seed], jnp.int32))
+
+    return run
