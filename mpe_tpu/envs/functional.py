@@ -74,26 +74,32 @@ class MpeEnv:
         if key is not None:
             knoise, kreset = jax.random.split(key)
 
-        u, c = decode_actions(spec, actions, self.action_mode, self.dtype)
-        state = step_world(spec, state, u, c, knoise)
+        with jax.named_scope("mpe/decode"):
+            u, c = decode_actions(spec, actions, self.action_mode, self.dtype)
+        with jax.named_scope("mpe/physics"):
+            state = step_world(spec, state, u, c, knoise)
 
-        obs = scn.observation(state)
-        reward = scn.reward(state)
-        if spec.collaborative:
-            reward = jnp.full_like(reward, jnp.sum(reward))
+        with jax.named_scope("mpe/observe"):
+            obs = scn.observation(state)
+        with jax.named_scope("mpe/reward"):
+            reward = scn.reward(state)
+            if spec.collaborative:
+                reward = jnp.full_like(reward, jnp.sum(reward))
         done = scn.done(state)
         if self.max_steps is not None:
             done = done | (state.t >= self.max_steps)
         info = scn.benchmark_data(state) or {}
 
         if self.auto_reset:
-            fresh = scn.reset(kreset, self.dtype)
-            fresh_obs = scn.observation(fresh)
-            ep_done = jnp.all(done)
-            state = jax.tree.map(
-                lambda n, o: jnp.where(
-                    jnp.reshape(ep_done, (1,) * n.ndim), n, o), fresh, state)
-            obs = jnp.where(ep_done, fresh_obs, obs)
+            with jax.named_scope("mpe/auto_reset"):
+                fresh = scn.reset(kreset, self.dtype)
+                fresh_obs = scn.observation(fresh)
+                ep_done = jnp.all(done)
+                state = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        jnp.reshape(ep_done, (1,) * n.ndim), n, o),
+                    fresh, state)
+                obs = jnp.where(ep_done, fresh_obs, obs)
         return state, obs, reward, done, info
 
     # ------------------------------------------------------------------
