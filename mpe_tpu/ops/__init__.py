@@ -3,6 +3,12 @@ rollout kernels (the hot path of SURVEY.md §2.4's "optional Pallas kernel
 for the fused pairwise-force + observation-gather step")."""
 
 from mpe_tpu.ops.batched import batched_spread_step
-from mpe_tpu.ops.fused_rollout import fused_spread_rollout
+from mpe_tpu.ops.fused_rollout import fused_spread_rollout, spread_step_block
+from mpe_tpu.ops.fused_trajectory import fused_spread_trajectory
 
-__all__ = ["batched_spread_step", "fused_spread_rollout"]
+__all__ = [
+    "batched_spread_step",
+    "fused_spread_rollout",
+    "fused_spread_trajectory",
+    "spread_step_block",
+]

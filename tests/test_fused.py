@@ -78,3 +78,32 @@ def test_fused_rollout_interpret_mode():
     assert (rew < 0).all()
     # two blocks were seeded differently -> lanes differ across blocks
     assert (pos[..., :128] != pos[..., 128:]).any()
+
+
+def test_fused_trajectory_interpret_mode():
+    from mpe_tpu.ops.fused_trajectory import fused_spread_trajectory
+
+    spec = scenarios.load("simple_spread").spec
+    run = fused_spread_trajectory(spec, n_envs=256, n_steps=16, horizon=100,
+                                  block_envs=128, t_chunk=4, interpret=True)
+    obs, act, rew, pos, vel = run(7)
+    obs, act = np.asarray(obs), np.asarray(act)
+    assert obs.shape == (16, 3, 18, 256) and np.isfinite(obs).all()
+    assert act.shape == (16, 3, 5, 256)
+    assert np.asarray(rew).shape == (16, 1, 256)
+
+    # emitted transitions obey the step function: reconstruct state at
+    # step t from obs (vel rows 0:2, pos rows 2:4, landmark rel rows
+    # 4:10) and verify stepping it with the emitted action reproduces
+    # obs at t+1 (horizon=100 > 16, so no reset interferes)
+    t = 5
+    avel = jnp.asarray(obs[t, :, 0:2, :])
+    apos = jnp.asarray(obs[t, :, 2:4, :])
+    lpos = jnp.asarray(obs[t, 0, 4:10, :]).reshape(3, 2, 256) + apos[0]
+    from mpe_tpu.ops.fused_rollout import spread_step_block
+
+    apos2, avel2, rew2, obs2 = spread_step_block(
+        spec, apos, avel, lpos, jnp.asarray(act[t + 1]))
+    np.testing.assert_allclose(np.asarray(obs2), obs[t + 1], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(rew2)[0], np.asarray(rew)[t + 1, 0], atol=1e-3)
