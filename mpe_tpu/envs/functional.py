@@ -76,6 +76,16 @@ class MpeEnv:
 
         with jax.named_scope("mpe/decode"):
             u, c = decode_actions(spec, actions, self.action_mode, self.dtype)
+        scripted = scn.scripted_action(state)
+        if scripted is not None:
+            # scripted-agent path (reference core.py:117-120: scripted
+            # agents get their action from action_callback, not the
+            # policy; the mask comes from the scenario hook)
+            mask, u_s, c_s = scripted
+            m = jnp.asarray(mask, bool)[:, None]
+            u = jnp.where(m, u_s.astype(u.dtype), u)
+            if spec.dim_c:
+                c = jnp.where(m, c_s.astype(c.dtype), c)
         with jax.named_scope("mpe/physics"):
             state = step_world(spec, state, u, c, knoise)
 

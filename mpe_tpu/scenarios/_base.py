@@ -50,6 +50,14 @@ class Scenario:
     def benchmark_data(self, state: WorldState):
         return None
 
+    def scripted_action(self, state: WorldState):
+        """Scripted-agent hook (the reference's ``action_callback`` path,
+        core.py:79 and 117-120 — defined there but unused by every
+        built-in scenario). Return ``None`` (no scripted agents) or
+        ``(mask bool[A], u [A,P], c [A,C])``; masked agents' physical and
+        comm actions come from here instead of the policy."""
+        return None
+
     def done(self, state: WorldState) -> jax.Array:
         return jnp.zeros((self.spec.n_agents,), bool)
 

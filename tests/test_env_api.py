@@ -95,3 +95,39 @@ def test_eval_shape_obs_probe():
         scn = scenarios.load(name)
         shapes = scn.observation_shapes()
         assert shapes == tuple((d,) for d in scn.obs_dims)
+
+
+def test_scripted_agent_hook():
+    """The reference's action_callback path (core.py:79, 117-120): a
+    scripted agent's action comes from the scenario, not the policy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs.functional import MpeEnv
+    from mpe_tpu.scenarios import _base as B
+
+    class ScriptedSpread(type(scenarios.load("simple_spread"))):
+        def scripted_action(self, state):
+            # agent 0 always accelerates toward landmark 0
+            spec = self.spec
+            d = state.pos[spec.n_agents] - state.pos[0]
+            u = jnp.zeros((spec.n_agents, spec.dim_p), state.dtype)
+            u = u.at[0].set(5.0 * d / jnp.linalg.norm(d))
+            mask = np.array([True, False, False])
+            return mask, u, jnp.zeros((spec.n_agents, spec.dim_c), state.dtype)
+
+    scripted = MpeEnv(ScriptedSpread())
+    plain = MpeEnv(scenarios.load("simple_spread"))
+    key = jax.random.PRNGKey(0)
+    s1, _ = scripted.reset(key)
+    s2, _ = plain.reset(key)
+    acts = jnp.zeros((3, 7))
+    for i in range(20):
+        s1, *_ = scripted.step(s1, acts)
+        s2, *_ = plain.step(s2, acts)
+    lm = np.asarray(s1.pos[3])
+    # scripted agent 0 chased landmark 0; in the plain env it never moved
+    d_scripted = np.linalg.norm(np.asarray(s1.pos[0]) - lm)
+    d_plain = np.linalg.norm(np.asarray(s2.pos[0]) - lm)
+    assert d_scripted < d_plain - 0.1
