@@ -5,10 +5,12 @@ for the fused pairwise-force + observation-gather step")."""
 from mpe_tpu.ops.batched import batched_spread_step
 from mpe_tpu.ops.fused_rollout import fused_spread_rollout, spread_step_block
 from mpe_tpu.ops.fused_trajectory import fused_spread_trajectory
+from mpe_tpu.ops.fused_policy import fused_policy_rollout
 
 __all__ = [
     "batched_spread_step",
     "fused_spread_rollout",
     "fused_spread_trajectory",
+    "fused_policy_rollout",
     "spread_step_block",
 ]

@@ -54,9 +54,16 @@ def spread_step_block(spec: ScenarioSpec, apos, avel, lpos, move):
     reward [1, N] shared, obs [A, 18, N]). Semantics: core.py:117-196 +
     simple_spread.py:72-100 + environment.py:99-102 shared reward.
     """
-    a, l = spec.n_agents, spec.n_landmarks
+    apos, avel = spread_physics_block(spec, apos, avel, move)
+    reward, obs = spread_reward_obs_block(spec, apos, avel, lpos)
+    return apos, avel, reward, obs
+
+
+def spread_physics_block(spec: ScenarioSpec, apos, avel, move):
+    """Decode + forces + integration only (core.py:117-169 semantics);
+    -> (apos, avel)."""
+    a = spec.n_agents
     dtype = apos.dtype
-    n = apos.shape[-1]
 
     # ---- decode (environment.py:174-181): per-agent scalar sensitivity
     # u[k] = a[2k+1] - a[2k+2]; static column picks (strided slices lower
@@ -111,6 +118,15 @@ def spread_step_block(spec: ScenarioSpec, apos, avel, lpos, move):
                 clamped.append(avel[i])
         avel = jnp.stack(clamped)
     apos = apos + avel * dt
+    return apos, avel
+
+
+def spread_reward_obs_block(spec: ScenarioSpec, apos, avel, lpos):
+    """simple_spread reward + obs of a (post-step) state;
+    -> (reward [1, N] shared, obs [A, 18, N])."""
+    a, l = spec.n_agents, spec.n_landmarks
+    dtype = apos.dtype
+    n = apos.shape[-1]
 
     # ---- reward (simple_spread.py:72-82 + shared sum env.py:99-102)
     # -sum_L min_A dist, unrolled over the tiny static counts
@@ -156,7 +172,7 @@ def spread_step_block(spec: ScenarioSpec, apos, avel, lpos, move):
         parts.append(jnp.zeros(((a - 1) * spec.dim_c, n), dtype))
         obs_rows.append(jnp.concatenate(parts, axis=0))
     obs = jnp.stack(obs_rows)                                # [A, 18, N]
-    return apos, avel, reward, obs
+    return reward, obs
 
 
 def _uniform(shape, dtype=jnp.float32):

@@ -107,3 +107,22 @@ def test_fused_trajectory_interpret_mode():
     np.testing.assert_allclose(np.asarray(obs2), obs[t + 1], atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(rew2)[0], np.asarray(rew)[t + 1, 0], atol=1e-3)
+
+
+def test_fused_policy_rollout_interpret_mode():
+    from mpe_tpu.learner import init_policy
+    from mpe_tpu.ops.fused_policy import fused_policy_rollout
+
+    spec = scenarios.load("simple_spread").spec
+    params = init_policy(jax.random.PRNGKey(0), 18, 5, hidden=32)
+    run = fused_policy_rollout(spec, params, n_envs=256, n_steps=24,
+                               horizon=8, block_envs=128, interpret=True)
+    ret, pos, eps = run(0, params)
+    ret, eps = np.asarray(ret), np.asarray(eps)
+    assert np.isfinite(ret).all()
+    # horizon bookkeeping: exactly 24/8 = 3 completed episodes per lane
+    np.testing.assert_array_equal(eps, np.full((1, 256), 3.0, np.float32))
+    # policy params actually matter: different weights -> different returns
+    params2 = init_policy(jax.random.PRNGKey(42), 18, 5, hidden=32)
+    ret2 = np.asarray(run(0, params2)[0])
+    assert (ret != ret2).any()
