@@ -316,3 +316,128 @@ def fused_spread_rollout(
         return call(jnp.asarray([seed], jnp.int32))
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# generic fused rollout over kernel-scenario blocks (ops/kernel_scenarios)
+# ---------------------------------------------------------------------------
+
+def _generic_rollout_kernel(
+    seed_ref, pos_out, vel_out, rew_out, obs_sum_out,
+    *, kscn, n_steps: int, horizon: int, block_envs: int,
+    interpret: bool = False,
+):
+    spec = kscn.spec
+    a, l, e, p = (spec.n_agents, spec.n_landmarks, spec.n_entities,
+                  spec.dim_p)
+    n = block_envs
+    f32 = jnp.float32
+
+    if interpret:
+        base_salt = (seed_ref[0] * jnp.int32(7919)
+                     + pl.program_id(0) * jnp.int32(104729))
+
+        def uniform(shape, step, call_id):
+            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
+            return _hash_uniform(salt, shape)
+    else:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def uniform(shape, step, call_id):
+            return _uniform(shape)
+
+    ar, lr = kscn.reset_ranges()
+
+    def sample_state(step, call_id):
+        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
+        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
+        return jnp.concatenate([apos, lpos], axis=0)
+
+    zero = jnp.zeros((), jnp.int32)
+    carry0 = (
+        sample_state(zero, 0),
+        jnp.zeros((e, p, n), f32),
+        jnp.zeros((1, n), jnp.int32),
+        jnp.zeros((kscn.reward_rows, n), f32),
+        jnp.zeros((1, n), f32),
+    )
+
+    def body(step, carry):
+        pos, vel, t, rew_acc, obs_acc = carry
+        move = uniform((a, 2 * p + 1, n), step, 2)
+        pos, vel = kscn.physics(pos, vel, move)
+        rew, obs = kscn.reward_obs(pos, vel)
+        rew_acc = rew_acc + rew
+        obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
+                                    keepdims=True)
+        t = t + 1
+        done = t >= horizon
+        pos = jnp.where(done[None], sample_state(step, 3), pos)
+        vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
+        t = jnp.where(done, 0, t)
+        return pos, vel, t, rew_acc, obs_acc
+
+    pos, vel, t, rew_acc, obs_acc = jax.lax.fori_loop(
+        0, n_steps, body, carry0)
+    pos_out[:] = pos
+    vel_out[:] = vel
+    rew_out[:] = rew_acc
+    obs_sum_out[:] = obs_acc
+
+
+def fused_rollout(
+    scenario,
+    n_envs: int,
+    n_steps: int,
+    horizon: int = 100,
+    block_envs: int = 1024,
+    interpret: bool = False,
+):
+    """Generic fused rollout for any scenario with kernel blocks
+    (ops/kernel_scenarios.py): ``run(seed) -> (pos [E,P,N], vel,
+    rew_sum [R,N], obs_checksum [1,N])``."""
+    from mpe_tpu.ops.kernel_scenarios import KernelScenario, kernel_scenario
+
+    kscn = (scenario if isinstance(scenario, KernelScenario)
+            else kernel_scenario(scenario))
+    spec = kscn.spec
+    assert n_envs % block_envs == 0, (n_envs, block_envs)
+    n_blocks = n_envs // block_envs
+    e, p = spec.n_entities, spec.dim_p
+
+    kernel = functools.partial(
+        _generic_rollout_kernel, kscn=kscn, n_steps=n_steps,
+        horizon=horizon, block_envs=block_envs, interpret=interpret)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kscn.reward_rows, block_envs), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_envs), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((kscn.reward_rows, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(seed):
+        return call(jnp.asarray([seed], jnp.int32))
+
+    return run

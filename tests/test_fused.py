@@ -126,3 +126,49 @@ def test_fused_policy_rollout_interpret_mode():
     params2 = init_policy(jax.random.PRNGKey(42), 18, 5, hidden=32)
     ret2 = np.asarray(run(0, params2)[0])
     assert (ret != ret2).any()
+
+
+def test_generic_kernel_physics_and_tag_blocks_match_vmapped():
+    """generic_physics_block + KernelTag vs the vmapped scenario path
+    (heterogeneous accel/max_speed, collide obstacle landmarks, bound
+    penalty, per-agent rewards)."""
+    from mpe_tpu.ops.kernel_scenarios import (
+        generic_physics_block, kernel_scenario)
+
+    scn = scenarios.load("simple_tag")
+    env = MpeEnv(scn, dtype=jnp.float64)
+    n = 16
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    states, _ = jax.vmap(env.reset, out_axes=-1)(keys)
+    moves = jax.random.uniform(jax.random.PRNGKey(1), (4, 5, n), jnp.float64)
+    acts = jnp.concatenate([moves, jnp.zeros((4, 2, n), jnp.float64)], axis=1)
+    s2, o2, r2, _, _ = jax.vmap(
+        env.step, in_axes=(-1, -1, 0), out_axes=-1)(states, acts, keys)
+
+    pos, vel = generic_physics_block(scn.spec, states.pos, states.vel, moves)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(pos), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2.vel), np.asarray(vel), atol=1e-12)
+    rew, obs = kernel_scenario(scn).reward_obs(pos, vel)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(rew), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(obs), atol=1e-12)
+
+
+def test_generic_fused_rollout_interpret_all_kernel_scenarios():
+    from mpe_tpu.ops.fused_rollout import fused_rollout
+
+    for name in ("simple", "simple_tag", "simple_spread"):
+        run = fused_rollout(name, n_envs=256, n_steps=10, horizon=4,
+                            block_envs=128, interpret=True)
+        pos, vel, rew, ocs = run(1)
+        assert np.isfinite(np.asarray(pos)).all(), name
+        assert np.isfinite(np.asarray(rew)).all(), name
+
+
+def test_generic_fused_rollout_unknown_scenario():
+    from mpe_tpu.ops.fused_rollout import fused_rollout
+
+    try:
+        fused_rollout("simple_crypto", n_envs=128, n_steps=4, block_envs=128)
+        assert False
+    except KeyError as e:
+        assert "vmapped XLA path" in str(e)
