@@ -97,6 +97,8 @@ class KernelScenario:
     spec: ScenarioSpec
     obs_w: int
     reward_rows: int
+    goal_choices: tuple = ()     # per-goal number of landmark choices
+    uses_comm: bool = False      # any non-silent agent (comm in obs)
 
     def reset_ranges(self) -> tuple[float, float]:
         """(agent_range, landmark_range) for uniform position sampling."""
@@ -105,7 +107,7 @@ class KernelScenario:
     def physics(self, pos, vel, move):
         return generic_physics_block(self.spec, pos, vel, move)
 
-    def reward_obs(self, pos, vel):
+    def reward_obs(self, pos, vel, comm=None, goal=None):
         raise NotImplementedError
 
 
@@ -118,7 +120,7 @@ class KernelSimple(KernelScenario):
         self.obs_w = 4
         self.reward_rows = 1
 
-    def reward_obs(self, pos, vel):
+    def reward_obs(self, pos, vel, comm=None, goal=None):
         rel = pos[1] - pos[0]                                # [P, N]
         rew = -jnp.sum(jnp.square(rel), axis=0, keepdims=True)
         obs = jnp.concatenate([vel[0], rel], axis=0)[None]   # [1, 4, N]
@@ -133,7 +135,7 @@ class KernelSpread(KernelScenario):
         self.obs_w = 18
         self.reward_rows = 1
 
-    def reward_obs(self, pos, vel):
+    def reward_obs(self, pos, vel, comm=None, goal=None):
         a = self.spec.n_agents
         return spread_reward_obs_block(self.spec, pos[:a], vel[:a], pos[a:])
 
@@ -150,7 +152,7 @@ class KernelTag(KernelScenario):
     def reset_ranges(self):
         return 1.0, 0.9                                      # simple_tag.py:47-52
 
-    def reward_obs(self, pos, vel):
+    def reward_obs(self, pos, vel, comm=None, goal=None):
         spec = self.spec
         a, l = spec.n_agents, spec.n_landmarks
         dtype = pos.dtype
@@ -195,10 +197,230 @@ class KernelTag(KernelScenario):
         return rew, jnp.stack(obs_rows)
 
 
+
+
+# ---------------------------------------------------------------------------
+# goal / comm helpers
+# ---------------------------------------------------------------------------
+
+def select_by_goal(goal_row, values):
+    """Unrolled gather: goal_row [1, N] int32, values[j] -> [.., N] rows;
+    returns values[goal] per lane (Mosaic-safe: no gather op)."""
+    out = values[0]
+    for j in range(1, len(values)):
+        out = jnp.where(goal_row == j, values[j], out)
+    return out
+
+
+def const_rows(vals, n, dtype):
+    """[len(vals), N] of per-row scalar constants."""
+    return jnp.concatenate(
+        [jnp.full((1, n), float(v), dtype) for v in vals], axis=0)
+
+
+def onehot_rows(goal_row, width, dtype):
+    """[width, N] one-hot of a [1, N] int index (unrolled)."""
+    return jnp.concatenate(
+        [(goal_row == j).astype(dtype) for j in range(width)], axis=0)
+
+
+class KernelScenarioBase(KernelScenario):
+    """Alias kept for readability of goal/comm scenarios below."""
+
+
+class KernelAdversary(KernelScenarioBase):
+    """simple_adversary (shaped rewards; reference simple_adversary.py:
+    82-139). Goals: 1 of 2 landmarks."""
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 10
+        self.reward_rows = 3
+        self.goal_choices = (2,)
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        n = pos.shape[-1]
+        gpos = select_by_goal(goal[0:1], [pos[3], pos[4]])    # [P, N]
+        d = []
+        for i in range(3):
+            d.append(jnp.sqrt(jnp.sum(jnp.square(pos[i] - gpos), axis=0,
+                                      keepdims=True)))        # [1, N]
+        adv_r = -jnp.square(d[0])
+        good_r = -jnp.minimum(d[1], d[2]) + d[0]
+        rew = jnp.concatenate([adv_r, good_r, good_r], axis=0)
+
+        rows = []
+        for i in range(3):
+            parts = []
+            if i != 0:
+                parts.append(gpos - pos[i])                   # goal rel
+            for j in (3, 4):
+                parts.append(pos[j] - pos[i])                 # landmark rel
+            for j in range(3):
+                if j != i:
+                    parts.append(pos[j] - pos[i])             # other rel
+            if i == 0:
+                parts.append(jnp.zeros((2, n), pos.dtype))    # pad 8 -> 10
+            rows.append(jnp.concatenate(parts, axis=0))
+        return rew, jnp.stack(rows)
+
+
+class KernelPush(KernelScenarioBase):
+    """simple_push (reference simple_push.py:62-96)."""
+
+    PUSH_LANDMARK_COLORS = (0.1, 0.9, 0.1, 0.1, 0.1, 0.9)
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 19
+        self.reward_rows = 2
+        self.goal_choices = (2,)
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        dtype = pos.dtype
+        n = pos.shape[-1]
+        g = goal[0:1]
+        gpos = select_by_goal(g, [pos[2], pos[3]])
+        d0 = jnp.sqrt(jnp.sum(jnp.square(pos[0] - gpos), axis=0,
+                              keepdims=True))
+        d1 = jnp.sqrt(jnp.sum(jnp.square(pos[1] - gpos), axis=0,
+                              keepdims=True))
+        rew = jnp.concatenate([d1 - d0, -d1], axis=0)
+
+        # good agent's own color: 0.25 grey + 0.5 on channel goal+1
+        own = [jnp.full((1, n), 0.25, dtype),
+               jnp.full((1, n), 0.25, dtype) + 0.5 * (g == 0).astype(dtype),
+               jnp.full((1, n), 0.25, dtype) + 0.5 * (g == 1).astype(dtype)]
+        adv = jnp.concatenate(
+            [vel[0], pos[2] - pos[0], pos[3] - pos[0], pos[1] - pos[0],
+             jnp.zeros((11, n), dtype)], axis=0)
+        good = jnp.concatenate(
+            [vel[1], gpos - pos[1]] + own
+            + [pos[2] - pos[1], pos[3] - pos[1],
+               const_rows(self.PUSH_LANDMARK_COLORS, n, dtype),
+               pos[0] - pos[1]], axis=0)
+        return rew, jnp.stack([adv, good])
+
+
+class KernelReference(KernelScenarioBase):
+    """simple_reference (collaborative; reference simple_reference.py:
+    55-80). Returns the post-broadcast shared reward [1, N]."""
+
+    LMK_COLORS = ((0.75, 0.25, 0.25), (0.25, 0.75, 0.25), (0.25, 0.25, 0.75))
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 21
+        self.reward_rows = 1
+        self.goal_choices = (3, 3)
+        self.uses_comm = True
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        dtype = pos.dtype
+        n = pos.shape[-1]
+        lpos = [pos[2], pos[3], pos[4]]
+        shared = jnp.zeros((1, n), dtype)
+        for i, other in ((0, 1), (1, 0)):
+            gpos = select_by_goal(goal[i : i + 1], lpos)
+            shared = shared - jnp.sum(jnp.square(pos[other] - gpos), axis=0,
+                                      keepdims=True)
+        rows = []
+        for i, other in ((0, 1), (1, 0)):
+            # goal color rows: 3 rows selected per channel
+            color_rows = jnp.concatenate(
+                [select_by_goal(goal[i : i + 1],
+                                [jnp.full((1, n), self.LMK_COLORS[j][ch],
+                                          dtype) for j in range(3)])
+                 for ch in range(3)], axis=0)
+            parts = [vel[i]]
+            for j in (2, 3, 4):
+                parts.append(pos[j] - pos[i])
+            parts.append(color_rows)
+            parts.append(comm[other])                         # other's comm
+            rows.append(jnp.concatenate(parts, axis=0))
+        return shared, jnp.stack(rows)
+
+
+class KernelSpeakerListener(KernelScenarioBase):
+    """simple_speaker_listener (collaborative; reference :63-92)."""
+
+    LMK_COLORS = ((0.65, 0.15, 0.15), (0.15, 0.65, 0.15), (0.15, 0.15, 0.65))
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 11
+        self.reward_rows = 1
+        self.goal_choices = (3,)
+        self.uses_comm = True
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        dtype = pos.dtype
+        n = pos.shape[-1]
+        g = goal[0:1]
+        lpos = [pos[2], pos[3], pos[4]]
+        gpos = select_by_goal(g, lpos)
+        d2 = jnp.sum(jnp.square(pos[1] - gpos), axis=0, keepdims=True)
+        shared = -2.0 * d2                                     # sum of 2 agents
+
+        color_rows = jnp.concatenate(
+            [select_by_goal(g, [jnp.full((1, n), self.LMK_COLORS[j][ch],
+                                         dtype) for j in range(3)])
+             for ch in range(3)], axis=0)
+        speaker = jnp.concatenate(
+            [color_rows, jnp.zeros((8, n), dtype)], axis=0)    # pad 3 -> 11
+        listener = jnp.concatenate(
+            [vel[1], pos[2] - pos[1], pos[3] - pos[1], pos[4] - pos[1],
+             comm[0]], axis=0)
+        return shared, jnp.stack([speaker, listener])
+
+
+class KernelCrypto(KernelScenarioBase):
+    """simple_crypto (comm-only; reference simple_crypto.py:97-169)."""
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 8
+        self.reward_rows = 3
+        self.goal_choices = (2, 2)
+        self.uses_comm = True
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        dtype = pos.dtype
+        dc = self.spec.dim_c
+        goal_color = onehot_rows(goal[0:1], dc, dtype)         # [4, N]
+        key_color = onehot_rows(goal[1:2], dc, dtype)
+        eve_c, bob_c, alice_c = comm[0], comm[1], comm[2]
+
+        def guarded(c):
+            nz = jnp.zeros_like(c[0:1])
+            for r in range(dc):
+                nz = jnp.maximum(nz, (c[r : r + 1] != 0).astype(dtype))
+            err = jnp.sum(jnp.square(c - goal_color), axis=0, keepdims=True)
+            return nz * err
+
+        good = -guarded(bob_c) + guarded(eve_c)
+        eve = -guarded(eve_c)
+        rew = jnp.concatenate([eve, good, good], axis=0)
+
+        n = pos.shape[-1]
+        pad4 = jnp.zeros((4, n), dtype)
+        rows = [
+            jnp.concatenate([alice_c, pad4], axis=0),          # eve
+            jnp.concatenate([key_color, alice_c], axis=0),     # bob
+            jnp.concatenate([goal_color, key_color], axis=0),  # alice
+        ]
+        return rew, jnp.stack(rows)
+
+
 _KERNEL_SCENARIOS = {
     "simple": KernelSimple,
     "simple_spread": KernelSpread,
     "simple_tag": KernelTag,
+    "simple_adversary": KernelAdversary,
+    "simple_push": KernelPush,
+    "simple_reference": KernelReference,
+    "simple_speaker_listener": KernelSpeakerListener,
+    "simple_crypto": KernelCrypto,
 }
 
 

@@ -168,7 +168,42 @@ def test_generic_fused_rollout_unknown_scenario():
     from mpe_tpu.ops.fused_rollout import fused_rollout
 
     try:
-        fused_rollout("simple_crypto", n_envs=128, n_steps=4, block_envs=128)
+        fused_rollout("simple_world_comm", n_envs=128, n_steps=4,
+                      block_envs=128)
         assert False
     except KeyError as e:
         assert "vmapped XLA path" in str(e)
+
+
+@pytest.mark.parametrize("name", [
+    "simple", "simple_adversary", "simple_push", "simple_reference",
+    "simple_speaker_listener", "simple_crypto"])
+def test_kernel_reward_obs_blocks_match_vmapped(name):
+    """Every kernel scenario's reward_obs block reproduces the vmapped
+    scenario (itself reference-parity-tested) on identical states,
+    including goal- and comm-dependent content."""
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    scn = scenarios.load(name)
+    spec = scn.spec
+    env = MpeEnv(scn, dtype=jnp.float64)
+    n, a = 16, spec.n_agents
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    states, _ = jax.vmap(env.reset, out_axes=-1)(keys)
+    # one step with random full-width actions so comm state is non-zero
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(4), (a, env.action_width, n), jnp.float64)
+    s2, o2, r2, _, _ = jax.vmap(
+        env.step, in_axes=(-1, -1, 0), out_axes=-1)(states, acts, keys)
+
+    k = kernel_scenario(scn)
+    comm = s2.comm if k.uses_comm else None
+    goal = s2.goal if len(k.goal_choices) else None
+    rew, obs = k.reward_obs(s2.pos, s2.vel, comm, goal)
+    if k.reward_rows == 1 and a > 1:
+        # kernel returns the shared post-broadcast reward once
+        rew = jnp.broadcast_to(rew, (a, n))
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(rew), atol=1e-10,
+                               err_msg=name)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(obs), atol=1e-10,
+                               err_msg=name)
