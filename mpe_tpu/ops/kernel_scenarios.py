@@ -412,6 +412,129 @@ class KernelCrypto(KernelScenarioBase):
         return rew, jnp.stack(rows)
 
 
+class KernelWorldComm(KernelScenarioBase):
+    """simple_world_comm — the full feature union (reference
+    simple_world_comm.py:155-287): leader comm broadcast, forest
+    visibility masking, food rewards, obstacle collisions. Landmark
+    block layout: [obstacle, food0, food1, forest0, forest1]."""
+
+    N_ADV, N_GOOD = 4, 2
+    FOOD = (1, 2)
+    FORESTS = (3, 4)
+
+    def __init__(self, spec: ScenarioSpec):
+        self.spec = spec
+        self.obs_w = 34
+        self.reward_rows = 6
+        self.uses_comm = True
+
+    def reset_ranges(self):
+        return 1.0, 0.9
+
+    def reward_obs(self, pos, vel, comm=None, goal=None):
+        spec = self.spec
+        a = spec.n_agents
+        dtype = pos.dtype
+        n = pos.shape[-1]
+        na, ng = self.N_ADV, self.N_GOOD
+
+        def dist(i, j):
+            return jnp.sqrt(jnp.sum(jnp.square(pos[i] - pos[j]), axis=0,
+                                    keepdims=True))           # [1, N]
+
+        # agent-agent distances (good x adv) and pair collisions
+        d_ga = {(g, v): dist(na + g, v) for g in range(ng) for v in range(na)}
+        hit_ga = {
+            k: (d < float(spec.size[na + k[0]] + spec.size[k[1]]))
+            for k, d in d_ga.items()
+        }
+        pair_hits = jnp.zeros((1, n), dtype)
+        for h in hit_ga.values():
+            pair_hits = pair_hits + h.astype(dtype)
+
+        # adversary rewards: -0.1 * min over good of dist + 5 * pair_hits
+        adv_rows = []
+        for v in range(na):
+            dmin = d_ga[(0, v)]
+            for g in range(1, ng):
+                dmin = jnp.minimum(dmin, d_ga[(g, v)])
+            adv_rows.append(-0.1 * dmin + 5.0 * pair_hits)
+
+        # good rewards: -5/adv hit, -2*bound, +2/food touch, +0.05*min food d
+        good_rows = []
+        for g in range(ng):
+            i = na + g
+            hits = jnp.zeros((1, n), dtype)
+            for v in range(na):
+                hits = hits + hit_ga[(g, v)].astype(dtype)
+            bound = jnp.zeros((1, n), dtype)
+            for d_ in range(spec.dim_p):
+                x = jnp.abs(pos[i, d_ : d_ + 1])
+                pen = jnp.where(
+                    x < 0.9, jnp.zeros((), dtype),
+                    jnp.where(x < 1.0, (x - 0.9) * 10.0,
+                              jnp.minimum(jnp.exp(2.0 * x - 2.0), 10.0)))
+                bound = bound + pen
+            food_touch = jnp.zeros((1, n), dtype)
+            food_dmin = None
+            for f in self.FOOD:
+                df = dist(i, a + f)
+                food_touch = food_touch + (
+                    df < float(spec.size[i] + spec.size[a + f])).astype(dtype)
+                food_dmin = df if food_dmin is None else jnp.minimum(
+                    food_dmin, df)
+            good_rows.append(-5.0 * hits - 2.0 * bound + 2.0 * food_touch
+                             + 0.05 * food_dmin)
+        rew = jnp.concatenate(adv_rows + good_rows, axis=0)   # [6, N]
+
+        # forest membership / visibility (simple_world_comm.py:231-261)
+        in_f = {}
+        for i in range(a):
+            for fi, f in enumerate(self.FORESTS):
+                in_f[(i, fi)] = dist(i, a + f) < float(
+                    spec.size[i] + spec.size[a + f])
+        outside = {
+            i: jnp.logical_not(in_f[(i, 0)] | in_f[(i, 1)]) for i in range(a)
+        }
+
+        def visible(i, j):
+            if spec.leader[i]:
+                return None                                   # always visible
+            same = (in_f[(i, 0)] & in_f[(j, 0)]) | (in_f[(i, 1)] & in_f[(j, 1)])
+            return same | (outside[i] & outside[j])
+
+        leader_c = comm[0]                                    # [4, N]
+        rows = []
+        for i in range(a):
+            parts = [vel[i], pos[i]]
+            for f in range(spec.n_landmarks):
+                parts.append(pos[a + f] - pos[i])
+            ovel = []
+            for j in range(a):
+                if j == i:
+                    continue
+                v_mask = visible(i, j)
+                rel = pos[j] - pos[i]
+                if v_mask is not None:
+                    rel = jnp.where(v_mask, rel, 0.0)
+                parts.append(rel)
+                if not spec.adversary[j]:
+                    vj = vel[j]
+                    if v_mask is not None:
+                        vj = jnp.where(v_mask, vj, 0.0)
+                    ovel.append(vj)
+            forest_pm = jnp.concatenate(
+                [jnp.where(in_f[(i, fi)], 1.0, -1.0).astype(dtype)
+                 for fi in range(2)], axis=0)
+            if spec.adversary[i]:
+                parts += ovel + [forest_pm, leader_c]
+            else:
+                # good rows are 28-d; pad to the 34-d obs width
+                parts += [forest_pm] + ovel + [jnp.zeros((6, n), dtype)]
+            rows.append(jnp.concatenate(parts, axis=0))
+        return rew, jnp.stack(rows)
+
+
 _KERNEL_SCENARIOS = {
     "simple": KernelSimple,
     "simple_spread": KernelSpread,
@@ -421,6 +544,7 @@ _KERNEL_SCENARIOS = {
     "simple_reference": KernelReference,
     "simple_speaker_listener": KernelSpeakerListener,
     "simple_crypto": KernelCrypto,
+    "simple_world_comm": KernelWorldComm,
 }
 
 

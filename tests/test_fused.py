@@ -165,19 +165,33 @@ def test_generic_fused_rollout_interpret_all_kernel_scenarios():
 
 
 def test_generic_fused_rollout_unknown_scenario():
-    from mpe_tpu.ops.fused_rollout import fused_rollout
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    class Fake:
+        class spec:
+            name = "not_a_scenario"
 
     try:
-        fused_rollout("simple_world_comm", n_envs=128, n_steps=4,
-                      block_envs=128)
+        kernel_scenario(Fake())
         assert False
     except KeyError as e:
         assert "vmapped XLA path" in str(e)
 
 
+def test_generic_fused_rollout_interpret_world_comm():
+    from mpe_tpu.ops.fused_rollout import fused_rollout
+
+    run = fused_rollout("simple_world_comm", n_envs=256, n_steps=8,
+                        horizon=4, block_envs=128, interpret=True)
+    pos, vel, rew, ocs = run(2)
+    assert np.isfinite(np.asarray(pos)).all()
+    assert np.asarray(rew).shape == (6, 256)
+    assert np.isfinite(np.asarray(rew)).all()
+
+
 @pytest.mark.parametrize("name", [
     "simple", "simple_adversary", "simple_push", "simple_reference",
-    "simple_speaker_listener", "simple_crypto"])
+    "simple_speaker_listener", "simple_crypto", "simple_world_comm"])
 def test_kernel_reward_obs_blocks_match_vmapped(name):
     """Every kernel scenario's reward_obs block reproduces the vmapped
     scenario (itself reference-parity-tested) on identical states,
