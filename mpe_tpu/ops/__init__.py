@@ -4,7 +4,8 @@ for the fused pairwise-force + observation-gather step")."""
 
 from mpe_tpu.ops.batched import batched_spread_step
 from mpe_tpu.ops.fused_rollout import (
-    fused_rollout, fused_spread_rollout, spread_step_block)
+    fused_rollout, fused_spread_rollout, sharded_fused_rollout,
+    spread_step_block)
 from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 from mpe_tpu.ops.fused_trajectory import fused_spread_trajectory
 from mpe_tpu.ops.fused_policy import fused_policy_rollout
@@ -12,6 +13,7 @@ from mpe_tpu.ops.fused_policy import fused_policy_rollout
 __all__ = [
     "batched_spread_step",
     "fused_rollout",
+    "sharded_fused_rollout",
     "fused_spread_rollout",
     "kernel_scenario",
     "fused_spread_trajectory",

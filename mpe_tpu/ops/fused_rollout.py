@@ -478,3 +478,49 @@ def fused_rollout(
         return call(jnp.asarray([seed], jnp.int32))
 
     return run
+
+
+def sharded_fused_rollout(
+    scenario,
+    n_envs: int,
+    n_steps: int,
+    mesh=None,
+    horizon: int = 100,
+    block_envs: int = 1024,
+    interpret: bool = False,
+    axis_name: str = "env",
+):
+    """Multi-device fused rollout: the Pallas kernel runs per-device under
+    ``shard_map`` with the env axis sharded over the mesh; each device
+    fuses its local blocks and folds its mesh position into the PRNG seed.
+    Envs never communicate, so the program stays collective-free — this
+    is the fused engine's scale-out path (same sharding model as
+    mpe_tpu.parallel.sharded_rollout)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mpe_tpu.parallel import env_mesh
+
+    mesh = mesh if mesh is not None else env_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0, (n_envs, n_dev)
+    local_envs = n_envs // n_dev
+    local_blocks = max(1, min(block_envs, local_envs))
+    local_run = fused_rollout(scenario, local_envs, n_steps, horizon=horizon,
+                              block_envs=local_blocks, interpret=interpret)
+
+    # env-minor outputs: env axis is last on every leaf
+    out_spec = P(*([None] * 2), axis_name)
+    rew_spec = P(None, axis_name)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(),
+             out_specs=(out_spec, out_spec, rew_spec, rew_spec),
+             check_vma=False)
+    def run(seed):
+        my = jax.lax.axis_index(axis_name)
+        return local_run(seed + my * jnp.int32(65537))
+
+    return run
