@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpe_tpu.core.state import ScenarioSpec
 from mpe_tpu.ops.fused_rollout import (
-    _hash_uniform, _uniform, spread_physics_block, spread_reward_obs_block)
+    make_uniform, spread_physics_block, spread_reward_obs_block)
 
 
 def _policy_onehot(spec, w1, b1, w2, b2, w3, b3, obs, uniform, step):
@@ -76,20 +76,8 @@ def _policy_rollout_kernel(
     a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
     n = block_envs
     f32 = jnp.float32
-    block_i = pl.program_id(0)
-
-    if interpret:
-        base_salt = (seed_ref[0] * jnp.int32(7919)
-                     + block_i * jnp.int32(104729))
-
-        def uniform(shape, step, call_id):
-            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
-            return _hash_uniform(salt, shape)
-    else:
-        pltpu.prng_seed(seed_ref[0] + block_i)
-
-        def uniform(shape, step, call_id):
-            return _uniform(shape)
+    uniform, seed_hw = make_uniform(seed_ref, interpret)
+    seed_hw()
 
     def sample_pos(rows, step, call_id):
         return uniform((rows, p, n), step, call_id) * 2.0 - 1.0

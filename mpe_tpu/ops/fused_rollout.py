@@ -68,8 +68,8 @@ def spread_physics_block(spec: ScenarioSpec, apos, avel, move):
     # ---- decode (environment.py:174-181): per-agent scalar sensitivity
     # u[k] = a[2k+1] - a[2k+2]; static column picks (strided slices lower
     # as >2D gathers, which Mosaic rejects)
-    u = jnp.stack([move[:, 1] - move[:, 2], move[:, 3] - move[:, 4]],
-                  axis=1)                                    # [A, P, N]
+    u = jnp.stack([move[:, 2 * k + 1] - move[:, 2 * k + 2]
+                   for k in range(spec.dim_p)], axis=1)      # [A, P, N]
     accel = [float(x) for x in spec.accel]
     if len(set(accel)) == 1:
         u = u * accel[0]
@@ -134,13 +134,11 @@ def spread_reward_obs_block(spec: ScenarioSpec, apos, avel, lpos):
     # "invalid relayout" bug on v5e; the unrolled form is also faster —
     # no [A, L, N] materialization)
     base = jnp.zeros((1, n), dtype)
-    d_al = {}
     for j in range(l):
         dj = None
         for i in range(a):
             d = jnp.sqrt(jnp.sum(jnp.square(apos[i] - lpos[j]), axis=0,
                                  keepdims=True))             # [1, N]
-            d_al[(i, j)] = d
             dj = d if dj is None else jnp.minimum(dj, d)
         base = base - dj
     # collisions incl. the self-collision quirk: self always collides
@@ -201,6 +199,36 @@ def _hash_uniform(salt, shape, dtype=jnp.float32):
             * dtype(2.0 ** -24))
 
 
+def make_uniform(seed_ref, interpret: bool, *extra_salts):
+    """Shared kernel RNG scaffold: returns ``(uniform, seed_hw)`` where
+    ``uniform(shape, step, call_id)`` draws U[0,1) and ``seed_hw()`` must
+    be called once (hardware path) before the first draw — directly, or
+    under ``pl.when`` for grid kernels that seed only on a block's first
+    chunk. Hardware path: seeds the per-core PRNG with multiplicatively
+    mixed (seed, block, *extra) so consecutive seeds and neighboring
+    blocks never share a stream (an additive ``seed + block`` scheme
+    would make block b of seed s identical to block b-1 of seed s+1).
+    Interpret path: stateless hash salted by the same terms plus
+    (step, call_id); ``seed_hw`` is a no-op."""
+    mixed = seed_ref[0] * jnp.int32(7919) + pl.program_id(0) * jnp.int32(104729)
+    for i, s in enumerate(extra_salts):
+        mixed = mixed + s * jnp.int32(15485863 + 2 * i)
+    if interpret:
+        def uniform(shape, step, call_id):
+            salt = mixed + step * jnp.int32(64) + jnp.int32(call_id)
+            return _hash_uniform(salt, shape)
+
+        def seed_hw():
+            pass
+    else:
+        def uniform(shape, step, call_id):
+            return _uniform(shape)
+
+        def seed_hw():
+            pltpu.prng_seed(mixed)
+    return uniform, seed_hw
+
+
 def _spread_rollout_kernel(
     seed_ref, pos_out, vel_out, rew_out, obs_sum_out,
     *, spec: ScenarioSpec, n_steps: int, horizon: int, block_envs: int,
@@ -210,18 +238,8 @@ def _spread_rollout_kernel(
     n = block_envs
     f32 = jnp.float32
 
-    if interpret:
-        base_salt = (seed_ref[0] * jnp.int32(7919)
-                     + pl.program_id(0) * jnp.int32(104729))
-
-        def uniform(shape, step, call_id):
-            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
-            return _hash_uniform(salt, shape)
-    else:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-        def uniform(shape, step, call_id):
-            return _uniform(shape)
+    uniform, seed_hw = make_uniform(seed_ref, interpret)
+    seed_hw()
 
     def sample_pos(rows, step, call_id):
         # uniform [-1, 1) (simple_spread.py:39-45 reset_world)
@@ -333,18 +351,8 @@ def _generic_rollout_kernel(
     n = block_envs
     f32 = jnp.float32
 
-    if interpret:
-        base_salt = (seed_ref[0] * jnp.int32(7919)
-                     + pl.program_id(0) * jnp.int32(104729))
-
-        def uniform(shape, step, call_id):
-            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
-            return _hash_uniform(salt, shape)
-    else:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-        def uniform(shape, step, call_id):
-            return _uniform(shape)
+    uniform, seed_hw = make_uniform(seed_ref, interpret)
+    seed_hw()
 
     ar, lr = kscn.reset_ranges()
     goal_choices = tuple(getattr(kscn, "goal_choices", ()) or ())
@@ -388,8 +396,6 @@ def _generic_rollout_kernel(
     ]
     if n_goals:
         carry0.append(sample_goal(zero, 8))
-    if dim_c:
-        carry0.append(jnp.zeros((a, dim_c, n), f32))
     carry0 = tuple(carry0)
 
     def body(step, carry):
@@ -410,8 +416,6 @@ def _generic_rollout_kernel(
         out = [pos, vel, t2, rew_acc, obs_acc]
         if n_goals:
             out.append(jnp.where(done, sample_goal(step, 24), goal))
-        if dim_c:
-            out.append(jnp.where(done[None], jnp.zeros_like(comm), comm))
         return tuple(out)
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
@@ -507,7 +511,11 @@ def sharded_fused_rollout(
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0, (n_envs, n_dev)
     local_envs = n_envs // n_dev
+    # largest divisor of local_envs not exceeding block_envs, so valid
+    # (n_envs, n_dev) combinations never trip the per-device assert
     local_blocks = max(1, min(block_envs, local_envs))
+    while local_envs % local_blocks:
+        local_blocks -= 1
     local_run = fused_rollout(scenario, local_envs, n_steps, horizon=horizon,
                               block_envs=local_blocks, interpret=interpret)
 

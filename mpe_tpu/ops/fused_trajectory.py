@@ -32,33 +32,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpe_tpu.core.state import ScenarioSpec
-from mpe_tpu.ops.fused_rollout import (
-    _hash_uniform, _uniform, spread_step_block)
+from mpe_tpu.ops.fused_rollout import make_uniform, spread_step_block
 
 
 def _traj_kernel(
     seed_ref, obs_out, act_out, rew_out, pos_out, vel_out,
     apos_s, avel_s, lpos_s, t_s,
     *, spec: ScenarioSpec, t_chunk: int, horizon: int, block_envs: int,
-    obs_w: int, interpret: bool,
+    interpret: bool,
 ):
     a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
     n = block_envs
     f32 = jnp.float32
-    block_i = pl.program_id(0)
     chunk_j = pl.program_id(1)
 
-    if interpret:
-        base_salt = (seed_ref[0] * jnp.int32(7919)
-                     + block_i * jnp.int32(104729)
-                     + chunk_j * jnp.int32(15485863))
-
-        def uniform(shape, step, call_id):
-            salt = base_salt + step * jnp.int32(64) + jnp.int32(call_id)
-            return _hash_uniform(salt, shape)
-    else:
-        def uniform(shape, step, call_id):
-            return _uniform(shape)
+    # interpret path needs per-chunk salt (stateless hash); the hardware
+    # PRNG is stateful, so it is seeded once per block (chunk 0) and the
+    # stream carries across that block's consecutive chunks
+    uniform, seed_hw = make_uniform(
+        seed_ref, interpret, *( (chunk_j,) if interpret else () ))
 
     def sample_pos(rows, step, call_id):
         return uniform((rows, p, n), step, call_id) * 2.0 - 1.0
@@ -67,8 +59,7 @@ def _traj_kernel(
 
     @pl.when(chunk_j == 0)
     def _init_block():
-        if not interpret:
-            pltpu.prng_seed(seed_ref[0] + block_i)
+        seed_hw()
         apos_s[:] = sample_pos(a, zero, 0)
         avel_s[:] = jnp.zeros((a, p, n), f32)
         lpos_s[:] = sample_pos(l, zero, 1)
@@ -119,7 +110,7 @@ def fused_spread_trajectory(
 
     kernel = functools.partial(
         _traj_kernel, spec=spec, t_chunk=t_chunk, horizon=horizon,
-        block_envs=block_envs, obs_w=obs_w, interpret=interpret)
+        block_envs=block_envs, interpret=interpret)
 
     grid_spec = pl.GridSpec(
         grid=(n_blocks, n_chunks),

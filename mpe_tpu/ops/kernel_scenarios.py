@@ -27,8 +27,8 @@ def decode_move_block(spec: ScenarioSpec, move):
     """[A, 5, N] one-hots -> scaled force [A, P, N]
     (environment.py:174-181)."""
     a = spec.n_agents
-    u = jnp.stack([move[:, 1] - move[:, 2], move[:, 3] - move[:, 4]],
-                  axis=1)
+    u = jnp.stack([move[:, 2 * k + 1] - move[:, 2 * k + 2]
+                   for k in range(spec.dim_p)], axis=1)
     accel = [float(x) for x in spec.accel]
     mov = [bool(m) for m in spec.movable[:a]]
     if len(set(accel)) == 1 and all(mov):
@@ -224,11 +224,7 @@ def onehot_rows(goal_row, width, dtype):
         [(goal_row == j).astype(dtype) for j in range(width)], axis=0)
 
 
-class KernelScenarioBase(KernelScenario):
-    """Alias kept for readability of goal/comm scenarios below."""
-
-
-class KernelAdversary(KernelScenarioBase):
+class KernelAdversary(KernelScenario):
     """simple_adversary (shaped rewards; reference simple_adversary.py:
     82-139). Goals: 1 of 2 landmarks."""
 
@@ -265,7 +261,7 @@ class KernelAdversary(KernelScenarioBase):
         return rew, jnp.stack(rows)
 
 
-class KernelPush(KernelScenarioBase):
+class KernelPush(KernelScenario):
     """simple_push (reference simple_push.py:62-96)."""
 
     PUSH_LANDMARK_COLORS = (0.1, 0.9, 0.1, 0.1, 0.1, 0.9)
@@ -302,7 +298,7 @@ class KernelPush(KernelScenarioBase):
         return rew, jnp.stack([adv, good])
 
 
-class KernelReference(KernelScenarioBase):
+class KernelReference(KernelScenario):
     """simple_reference (collaborative; reference simple_reference.py:
     55-80). Returns the post-broadcast shared reward [1, N]."""
 
@@ -341,7 +337,7 @@ class KernelReference(KernelScenarioBase):
         return shared, jnp.stack(rows)
 
 
-class KernelSpeakerListener(KernelScenarioBase):
+class KernelSpeakerListener(KernelScenario):
     """simple_speaker_listener (collaborative; reference :63-92)."""
 
     LMK_COLORS = ((0.65, 0.15, 0.15), (0.15, 0.65, 0.15), (0.15, 0.15, 0.65))
@@ -374,7 +370,7 @@ class KernelSpeakerListener(KernelScenarioBase):
         return shared, jnp.stack([speaker, listener])
 
 
-class KernelCrypto(KernelScenarioBase):
+class KernelCrypto(KernelScenario):
     """simple_crypto (comm-only; reference simple_crypto.py:97-169)."""
 
     def __init__(self, spec: ScenarioSpec):
@@ -412,7 +408,7 @@ class KernelCrypto(KernelScenarioBase):
         return rew, jnp.stack(rows)
 
 
-class KernelWorldComm(KernelScenarioBase):
+class KernelWorldComm(KernelScenario):
     """simple_world_comm — the full feature union (reference
     simple_world_comm.py:155-287): leader comm broadcast, forest
     visibility masking, food rewards, obstacle collisions. Landmark
