@@ -7,7 +7,8 @@ from mpe_tpu.ops.fused_rollout import (
     fused_rollout, fused_spread_rollout, sharded_fused_rollout,
     spread_step_block)
 from mpe_tpu.ops.kernel_scenarios import kernel_scenario
-from mpe_tpu.ops.fused_trajectory import fused_spread_trajectory
+from mpe_tpu.ops.fused_trajectory import (
+    fused_spread_trajectory, fused_trajectory)
 from mpe_tpu.ops.fused_policy import fused_policy_rollout
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "fused_spread_rollout",
     "kernel_scenario",
     "fused_spread_trajectory",
+    "fused_trajectory",
     "fused_policy_rollout",
     "spread_step_block",
 ]

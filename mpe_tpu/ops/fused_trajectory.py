@@ -1,4 +1,4 @@
-"""Pallas fused rollout with trajectory emission.
+"""Pallas fused rollout with trajectory emission — any scenario.
 
 Extends the VMEM-resident rollout (mpe_tpu/ops/fused_rollout.py) to
 stream ``(obs, actions, rewards)`` per step back to HBM — the batch a
@@ -8,7 +8,8 @@ Shape of the computation:
   - grid = (env blocks, time chunks); TPU iterates the last grid dim
     fastest, so each env block processes all of its time chunks
     consecutively.
-  - world state lives in VMEM **scratch**, which persists across grid
+  - world state (pos/vel/t, plus per-lane goal indices for goal
+    scenarios) lives in VMEM **scratch**, which persists across grid
     steps: it is (re)initialized when a block's first chunk starts and
     carried through that block's remaining chunks.
   - each grid step runs ``t_chunk`` env steps with a ``fori_loop`` and
@@ -17,9 +18,11 @@ Shape of the computation:
     compute (double buffering per pallas_guide.md).
   - HBM traffic is exactly the trajectory (what the learner must read
     anyway) — none of the step's intermediates ever leave the chip.
+  - emitted actions are the full reference-format width: move one-hots
+    [A, 5, N] plus raw comm utterances [A, C, N] for comm scenarios.
 
-Same scalar-specialization rules as fused_rollout.py (no array constants,
-unrolled entity loops, >=2D values everywhere).
+Scenario physics/reward/obs come from ops/kernel_scenarios.py (pinned to
+the parity-tested vmapped implementations by tests/test_fused.py).
 """
 
 from __future__ import annotations
@@ -31,64 +34,91 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpe_tpu.core.state import ScenarioSpec
-from mpe_tpu.ops.fused_rollout import make_uniform, spread_step_block
+from mpe_tpu.ops.fused_rollout import make_uniform
 
 
 def _traj_kernel(
     seed_ref, obs_out, act_out, rew_out, pos_out, vel_out,
-    apos_s, avel_s, lpos_s, t_s,
-    *, spec: ScenarioSpec, t_chunk: int, horizon: int, block_envs: int,
-    interpret: bool,
+    pos_s, vel_s, t_s, *maybe_goal_s,
+    kscn, t_chunk: int, horizon: int, block_envs: int, interpret: bool,
 ):
-    a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
+    spec = kscn.spec
+    a, l, e, p = (spec.n_agents, spec.n_landmarks, spec.n_entities,
+                  spec.dim_p)
     n = block_envs
     f32 = jnp.float32
     chunk_j = pl.program_id(1)
+    goal_choices = tuple(kscn.goal_choices or ())
+    n_goals = len(goal_choices)
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    goal_s = maybe_goal_s[0] if n_goals else None
 
     # interpret path needs per-chunk salt (stateless hash); the hardware
     # PRNG is stateful, so it is seeded once per block (chunk 0) and the
     # stream carries across that block's consecutive chunks
     uniform, seed_hw = make_uniform(
-        seed_ref, interpret, *( (chunk_j,) if interpret else () ))
+        seed_ref, interpret, *((chunk_j,) if interpret else ()))
 
-    def sample_pos(rows, step, call_id):
-        return uniform((rows, p, n), step, call_id) * 2.0 - 1.0
+    ar, lr = kscn.reset_ranges()
+
+    def sample_state(step, call_id):
+        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
+        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
+        return jnp.concatenate([apos, lpos], axis=0)
+
+    def sample_goal(step, call_id):
+        rows = []
+        for gi, k in enumerate(goal_choices):
+            u = uniform((1, n), step, call_id + 2 + gi)
+            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
+        return jnp.concatenate(rows, axis=0)
+
+    def sample_comm(step, call_id):
+        c = uniform((a, dim_c, n), step, call_id)
+        keep = [0.0 if spec.silent[i] else 1.0 for i in range(a)]
+        if all(x == 1.0 for x in keep):
+            return c
+        return jnp.stack([c[i] * keep[i] for i in range(a)])
 
     zero = jnp.zeros((), jnp.int32)
 
     @pl.when(chunk_j == 0)
     def _init_block():
         seed_hw()
-        apos_s[:] = sample_pos(a, zero, 0)
-        avel_s[:] = jnp.zeros((a, p, n), f32)
-        lpos_s[:] = sample_pos(l, zero, 1)
+        pos_s[:] = sample_state(zero, 0)
+        vel_s[:] = jnp.zeros((e, p, n), f32)
         t_s[:] = jnp.zeros((1, n), jnp.int32)
+        if n_goals:
+            goal_s[:] = sample_goal(zero, 8)
 
     def body(step, _):
-        apos, avel, lpos, t = apos_s[:], avel_s[:], lpos_s[:], t_s[:]
+        pos, vel, t = pos_s[:], vel_s[:], t_s[:]
+        goal = goal_s[:] if n_goals else None
         move = uniform((a, 2 * p + 1, n), step, 2)
-        apos, avel, rew, obs = spread_step_block(spec, apos, avel, lpos, move)
+        pos, vel = kscn.physics(pos, vel, move)
+        comm = sample_comm(step, 16) if dim_c else None
+        rew, obs = kscn.reward_obs(pos, vel, comm, goal)
         obs_out[pl.ds(step, 1)] = obs[None]
-        act_out[pl.ds(step, 1)] = move[None]
+        act = (jnp.concatenate([move, comm], axis=1) if dim_c else move)
+        act_out[pl.ds(step, 1)] = act[None]
         rew_out[pl.ds(step, 1)] = rew[None]
         # per-lane horizon auto-reset
         t = t + 1
         done = t >= horizon
-        apos_s[:] = jnp.where(done[None], sample_pos(a, step, 3), apos)
-        lpos_s[:] = jnp.where(done[None], sample_pos(l, step, 4), lpos)
-        avel_s[:] = jnp.where(done[None], jnp.zeros_like(avel), avel)
+        pos_s[:] = jnp.where(done[None], sample_state(step, 3), pos)
+        vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
         t_s[:] = jnp.where(done, 0, t)
+        if n_goals:
+            goal_s[:] = jnp.where(done, sample_goal(step, 24), goal)
         return 0
 
     jax.lax.fori_loop(0, t_chunk, body, 0)
-    pos_out[:] = jnp.concatenate([apos_s[:], lpos_s[:]], axis=0)
-    vel_out[:] = jnp.concatenate([avel_s[:], jnp.zeros((l, p, n), f32)],
-                                 axis=0)
+    pos_out[:] = pos_s[:]
+    vel_out[:] = vel_s[:]
 
 
-def fused_spread_trajectory(
-    spec: ScenarioSpec,
+def fused_trajectory(
+    scenario,
     n_envs: int,
     n_steps: int,
     horizon: int = 100,
@@ -96,21 +126,36 @@ def fused_spread_trajectory(
     t_chunk: int = 8,
     interpret: bool = False,
 ):
-    """Build ``run(seed) -> (obs [T,A,W,N], actions [T,A,5,N],
-    rewards [T,1,N], pos [E,P,N], vel [E,P,N])`` — env-minor trajectory
-    batches streamed from the fused rollout."""
+    """Build ``run(seed) -> (obs [T,A,OW,N], actions [T,A,5+C,N],
+    rewards [T,R,N], pos [E,P,N], vel [E,P,N])`` — env-minor trajectory
+    batches streamed from the fused rollout, for any kernel scenario."""
+    from mpe_tpu.ops.kernel_scenarios import KernelScenario, kernel_scenario
+
+    kscn = (scenario if isinstance(scenario, KernelScenario)
+            else kernel_scenario(scenario))
+    spec = kscn.spec
     assert n_envs % block_envs == 0
     assert n_steps % t_chunk == 0
     n_blocks = n_envs // block_envs
     n_chunks = n_steps // t_chunk
-    a, l, e, p = (spec.n_agents, spec.n_landmarks, spec.n_entities,
-                  spec.dim_p)
-    obs_w = 2 * p + l * p + (a - 1) * p + (a - 1) * spec.dim_c
-    mw = 2 * p + 1
+    a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    act_w = 2 * p + 1 + dim_c
+    obs_w = kscn.obs_w
+    rr = kscn.reward_rows
+    n_goals = len(tuple(kscn.goal_choices or ()))
 
     kernel = functools.partial(
-        _traj_kernel, spec=spec, t_chunk=t_chunk, horizon=horizon,
+        _traj_kernel, kscn=kscn, t_chunk=t_chunk, horizon=horizon,
         block_envs=block_envs, interpret=interpret)
+
+    scratch = [
+        pltpu.VMEM((e, p, block_envs), jnp.float32),   # pos
+        pltpu.VMEM((e, p, block_envs), jnp.float32),   # vel
+        pltpu.VMEM((1, block_envs), jnp.int32),        # per-lane t
+    ]
+    if n_goals:
+        scratch.append(pltpu.VMEM((n_goals, block_envs), jnp.int32))
 
     grid_spec = pl.GridSpec(
         grid=(n_blocks, n_chunks),
@@ -118,21 +163,16 @@ def fused_spread_trajectory(
         out_specs=(
             pl.BlockSpec((t_chunk, a, obs_w, block_envs),
                          lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, a, mw, block_envs),
+            pl.BlockSpec((t_chunk, a, act_w, block_envs),
                          lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, 1, block_envs),
+            pl.BlockSpec((t_chunk, rr, block_envs),
                          lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((e, p, block_envs),
                          lambda i, j: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((e, p, block_envs),
                          lambda i, j: (0, 0, i), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((a, p, block_envs), jnp.float32),   # agent pos
-            pltpu.VMEM((a, p, block_envs), jnp.float32),   # agent vel
-            pltpu.VMEM((l, p, block_envs), jnp.float32),   # landmark pos
-            pltpu.VMEM((1, block_envs), jnp.int32),        # per-lane t
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -140,8 +180,8 @@ def fused_spread_trajectory(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, a, mw, n_envs), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, 1, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, a, act_w, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, rr, n_envs), jnp.float32),
             jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
             jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
         ),
@@ -153,3 +193,13 @@ def fused_spread_trajectory(
         return call(jnp.asarray([seed], jnp.int32))
 
     return run
+
+
+def fused_spread_trajectory(spec, n_envs, n_steps, horizon=100,
+                            block_envs=1024, t_chunk=8, interpret=False):
+    """Back-compat wrapper: the spread instance of ``fused_trajectory``."""
+    from mpe_tpu.ops.kernel_scenarios import KernelSpread
+
+    return fused_trajectory(KernelSpread(spec), n_envs, n_steps,
+                            horizon=horizon, block_envs=block_envs,
+                            t_chunk=t_chunk, interpret=interpret)

@@ -238,3 +238,21 @@ def test_sharded_fused_rollout_8dev_mesh():
     assert np.isfinite(p).all()
     # per-device seed folding: shards are decorrelated
     assert (p[..., :128] != p[..., 128:256]).any()
+
+
+def test_generic_fused_trajectory_interpret():
+    from mpe_tpu.ops.fused_trajectory import fused_trajectory
+
+    for name, (a, ow, aw, rr) in {
+        "simple_tag": (4, 16, 5, 4),
+        "simple_reference": (2, 21, 15, 1),
+        "simple_crypto": (3, 8, 9, 3),
+    }.items():
+        run = fused_trajectory(name, n_envs=256, n_steps=8, horizon=5,
+                               block_envs=128, t_chunk=4, interpret=True)
+        obs, act, rew, pos, vel = run(0)
+        assert obs.shape == (8, a, ow, 256), name
+        assert act.shape == (8, a, aw, 256), name
+        assert rew.shape == (8, rr, 256), name
+        assert np.isfinite(np.asarray(obs)).all(), name
+        assert np.isfinite(np.asarray(rew)).all(), name
