@@ -1,5 +1,5 @@
 """Pallas fused policy-in-the-loop rollout: env + MLP inference in one
-kernel.
+kernel, for any kernel scenario.
 
 The serving-shaped hot path: a trained (or candidate) policy is evaluated
 by rolling out thousands of envs — obs -> MLP -> sample -> step — with
@@ -10,11 +10,13 @@ per-env return accumulators out, independent of rollout length. Use
 cases: policy evaluation, population-based search, league play.
 
 Policy: the parameter-shared 2-hidden-layer tanh MLP of
-mpe_tpu.learner.pg (init_policy format). Weights are kernel *inputs*
-(Pallas kernels cannot capture array constants); the builder transposes
-them to MXU-friendly [out, in] layout. All A agents' observations are
-concatenated along the lane axis so each layer is ONE [H, in] @ [in,
-A*N] matmul.
+mpe_tpu.learner.pg (init_policy format) over the padded observation rows;
+output width is 5 (move logits) plus dim_c (comm logits) for comm
+scenarios — the same layout the reference's Discrete/MultiDiscrete
+action spaces imply. Weights are kernel *inputs* (Pallas kernels cannot
+capture array constants); the builder transposes them to MXU-friendly
+[out, in] layout. All A agents' observations are concatenated along the
+lane axis so each layer is ONE [H, in] @ [in, A*N] matmul.
 
 Sampling: Gumbel-max — argmax_k(logit_k + g_k), g = -log(-log(U)) —
 exactly a categorical draw from softmax(logits), computed with unrolled
@@ -30,103 +32,140 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpe_tpu.core.state import ScenarioSpec
-from mpe_tpu.ops.fused_rollout import (
-    make_uniform, spread_physics_block, spread_reward_obs_block)
+from mpe_tpu.ops.fused_rollout import make_uniform
 
 
-def _policy_onehot(spec, w1, b1, w2, b2, w3, b3, obs, uniform, step):
-    """obs [A, OW, N] -> sampled one-hot moves [A, 5, N] via MXU MLP +
-    Gumbel-max. Weights: w* [out, in] (transposed), b* [out, 1]."""
+def _gumbel_onehot(logits, u, f32=jnp.float32):
+    """[K, M] logits + U[0,1) -> one-hot categorical sample [K, M]."""
+    k = logits.shape[0]
+    z = logits - jnp.log(-jnp.log(u + 1e-12) + 1e-12)
+    zmax = z[0:1]                                             # stay 2-D
+    for r in range(1, k):
+        zmax = jnp.maximum(zmax, z[r : r + 1])
+    onehot = (z >= zmax).astype(f32)
+    # ties are measure-zero under continuous gumbel noise; keep first
+    # deterministic anyway via cumulative mask
+    taken = jnp.zeros_like(onehot[0:1])
+    rows = []
+    for r in range(k):
+        row = onehot[r : r + 1] * (1.0 - taken)
+        taken = jnp.minimum(taken + row, 1.0)
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _policy_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step):
+    """obs [A, OW, N] -> (move one-hots [A, 5, N], comm one-hots
+    [A, C, N] or None) via MXU MLP + Gumbel-max."""
+    spec = kscn.spec
     a = spec.n_agents
     mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if kscn.uses_comm else 0
     n = obs.shape[-1]
     f32 = jnp.float32
     # concat agents along lanes: [OW, A*N] — one matmul per layer
     x = jnp.concatenate([obs[i] for i in range(a)], axis=1)
     h = jnp.tanh(jnp.dot(w1, x, preferred_element_type=f32) + b1)
     h = jnp.tanh(jnp.dot(w2, h, preferred_element_type=f32) + b2)
-    logits = jnp.dot(w3, h, preferred_element_type=f32) + b3  # [mw, A*N]
-    # Gumbel-max categorical sample
-    u = uniform((mw, a * n), step, 7)
-    z = logits - jnp.log(-jnp.log(u + 1e-12) + 1e-12)
-    zmax = z[0:1]                                             # stay 2-D
-    for k in range(1, mw):
-        zmax = jnp.maximum(zmax, z[k : k + 1])
-    onehot = (z >= zmax).astype(f32)                          # [mw, A*N]
-    # ties are measure-zero under continuous gumbel noise; keep first
-    # deterministic anyway via cumulative mask
-    taken = jnp.zeros_like(onehot[0:1])
-    rows = []
-    for k in range(mw):
-        r = onehot[k : k + 1] * (1.0 - taken)
-        taken = jnp.minimum(taken + r, 1.0)
-        rows.append(r)
-    onehot = jnp.concatenate(rows, axis=0)
-    # split agents back off the lane axis -> [A, mw, N]
-    return jnp.stack([onehot[:, i * n:(i + 1) * n] for i in range(a)])
+    logits = jnp.dot(w3, h, preferred_element_type=f32) + b3  # [5+C, A*N]
+
+    move = _gumbel_onehot(logits[:mw], uniform((mw, a * n), step, 7))
+    move = jnp.stack([move[:, i * n:(i + 1) * n] for i in range(a)])
+    if not dim_c:
+        return move, None
+    comm = _gumbel_onehot(logits[mw:], uniform((dim_c, a * n), step, 9))
+    comm_rows = []
+    for i in range(a):
+        c = comm[:, i * n:(i + 1) * n]
+        comm_rows.append(jnp.zeros_like(c) if spec.silent[i] else c)
+    return move, jnp.stack(comm_rows)
 
 
 def _policy_rollout_kernel(
     seed_ref, w1, b1, w2, b2, w3, b3,
     ret_out, pos_out, len_out,
-    *, spec: ScenarioSpec, n_steps: int, horizon: int, block_envs: int,
+    *, kscn, n_steps: int, horizon: int, block_envs: int,
     interpret: bool,
 ):
-    a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
+    spec = kscn.spec
+    a, l, e, p = (spec.n_agents, spec.n_landmarks, spec.n_entities,
+                  spec.dim_p)
     n = block_envs
     f32 = jnp.float32
+    goal_choices = tuple(kscn.goal_choices or ())
+    n_goals = len(goal_choices)
     uniform, seed_hw = make_uniform(seed_ref, interpret)
     seed_hw()
 
-    def sample_pos(rows, step, call_id):
-        return uniform((rows, p, n), step, call_id) * 2.0 - 1.0
+    ar, lr = kscn.reset_ranges()
+
+    def sample_state(step, call_id):
+        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
+        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
+        return jnp.concatenate([apos, lpos], axis=0)
+
+    def sample_goal(step, call_id):
+        if not n_goals:
+            return None
+        rows = []
+        for gi, k in enumerate(goal_choices):
+            u = uniform((1, n), step, call_id + 2 + gi)
+            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
+        return jnp.concatenate(rows, axis=0)
 
     zero = jnp.zeros((), jnp.int32)
-    apos0 = sample_pos(a, zero, 0)
-    avel0 = jnp.zeros((a, p, n), f32)
-    lpos0 = sample_pos(l, zero, 1)
-    _, obs0 = spread_reward_obs_block(spec, apos0, avel0, lpos0)
+    pos0 = sample_state(zero, 0)
+    vel0 = jnp.zeros((e, p, n), f32)
+    goal0 = sample_goal(zero, 8)
+    comm0 = (jnp.zeros((a, spec.dim_c, n), f32) if kscn.uses_comm else None)
+    _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0)
 
-    carry0 = (
-        apos0, avel0, lpos0, obs0,
+    carry0 = [
+        pos0, vel0, obs0,
         jnp.zeros((1, n), jnp.int32),     # per-lane t
-        jnp.zeros((1, n), f32),           # return accumulator
+        jnp.zeros((kscn.reward_rows, n), f32),  # return accumulator
         jnp.zeros((1, n), f32),           # episodes completed per lane
-    )
+    ]
+    if n_goals:
+        carry0.append(goal0)
+    carry0 = tuple(carry0)
 
     def body(step, carry):
-        apos, avel, lpos, obs, t, ret_acc, eps = carry
-        move = _policy_onehot(spec, w1[:], b1[:], w2[:], b2[:], w3[:], b3[:],
-                              obs, uniform, step)
-        apos, avel = spread_physics_block(spec, apos, avel, move)
-        rew, obs = spread_reward_obs_block(spec, apos, avel, lpos)
+        pos, vel, obs, t, ret_acc, eps, *extra = carry
+        goal = extra[0] if n_goals else None
+        move, comm = _policy_sample(
+            kscn, w1[:], b1[:], w2[:], b2[:], w3[:], b3[:], obs, uniform,
+            step)
+        pos, vel = kscn.physics(pos, vel, move)
+        rew, obs = kscn.reward_obs(pos, vel, comm, goal)
         ret_acc = ret_acc + rew
         t = t + 1
         done = t >= horizon
-        donef = done.astype(f32)
-        eps = eps + donef
+        eps = eps + done.astype(f32)
         # auto-reset (recompute obs for resampled lanes)
-        apos_f = sample_pos(a, step, 3)
-        lpos_f = sample_pos(l, step, 4)
-        _, obs_f = spread_reward_obs_block(
-            spec, apos_f, jnp.zeros_like(avel), lpos_f)
-        apos = jnp.where(done[None], apos_f, apos)
-        lpos = jnp.where(done[None], lpos_f, lpos)
-        avel = jnp.where(done[None], jnp.zeros_like(avel), avel)
+        pos_f = sample_state(step, 3)
+        goal_f = sample_goal(step, 24)
+        comm_f = jnp.zeros_like(comm) if comm is not None else None
+        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
+                                   goal_f)
+        pos = jnp.where(done[None], pos_f, pos)
+        vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs = jnp.where(done[None], obs_f, obs)
         t = jnp.where(done, 0, t)
-        return apos, avel, lpos, obs, t, ret_acc, eps
+        out = [pos, vel, obs, t, ret_acc, eps]
+        if n_goals:
+            out.append(jnp.where(done, goal_f, goal))
+        return tuple(out)
 
-    apos, avel, lpos, obs, t, ret_acc, eps = jax.lax.fori_loop(
-        0, n_steps, body, carry0)
+    final = jax.lax.fori_loop(0, n_steps, body, carry0)
+    pos, vel, obs, t, ret_acc, eps = final[:6]
     ret_out[:] = ret_acc
-    pos_out[:] = jnp.concatenate([apos, lpos], axis=0)
+    pos_out[:] = pos
     len_out[:] = eps
 
 
 def fused_policy_rollout(
-    spec: ScenarioSpec,
+    scenario_or_spec,
     params,
     n_envs: int,
     n_steps: int,
@@ -134,31 +173,40 @@ def fused_policy_rollout(
     block_envs: int = 1024,
     interpret: bool = False,
 ):
-    """Build ``run(seed, params) -> (returns [1, N], pos [E, P, N],
+    """Build ``run(seed, params) -> (returns [R, N], pos [E, P, N],
     episodes [1, N])`` — a full policy-evaluation rollout in one kernel.
 
     ``params`` (only shapes are used at build time) is the
-    mpe_tpu.learner.init_policy pytree; pass (possibly updated) params of
-    the same shapes at call time.
+    mpe_tpu.learner.init_policy pytree with ``obs_dim = kscn.obs_w`` and
+    ``act_dim = 5 + dim_c`` (comm scenarios) or 5; pass (possibly
+    updated) params of the same shapes at call time.
     """
+    from mpe_tpu.core.state import ScenarioSpec
+    from mpe_tpu.ops.kernel_scenarios import (
+        KernelScenario, KernelSpread, kernel_scenario)
+
+    if isinstance(scenario_or_spec, KernelScenario):
+        kscn = scenario_or_spec
+    elif isinstance(scenario_or_spec, ScenarioSpec):
+        # back-compat: a bare spread spec (the original API)
+        kscn = KernelSpread(scenario_or_spec)
+    else:
+        kscn = kernel_scenario(scenario_or_spec)
+    spec = kscn.spec
     assert n_envs % block_envs == 0
     n_blocks = n_envs // block_envs
     e, p = spec.n_entities, spec.dim_p
 
     kernel = functools.partial(
-        _policy_rollout_kernel, spec=spec, n_steps=n_steps,
+        _policy_rollout_kernel, kscn=kscn, n_steps=n_steps,
         horizon=horizon, block_envs=block_envs, interpret=interpret)
-
-    def wspecs():
-        # weights replicated to every block: constant index map
-        return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [wspecs() for _ in range(6)],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         out_specs=(
-            pl.BlockSpec((1, block_envs), lambda i: (0, i),
+            pl.BlockSpec((kscn.reward_rows, block_envs), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -171,7 +219,7 @@ def fused_policy_rollout(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((kscn.reward_rows, n_envs), jnp.float32),
             jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
         ),
@@ -185,7 +233,7 @@ def fused_policy_rollout(
         b1 = params["l1"]["b"].astype(f32)[:, None]
         w2 = params["l2"]["w"].T.astype(f32)
         b2 = params["l2"]["b"].astype(f32)[:, None]
-        w3 = params["out"]["w"].T.astype(f32)    # [mw, H]
+        w3 = params["out"]["w"].T.astype(f32)    # [5+C, H]
         b3 = params["out"]["b"].astype(f32)[:, None]
         return call(jnp.asarray([seed], jnp.int32), w1, b1, w2, b2, w3, b3)
 

@@ -256,3 +256,22 @@ def test_generic_fused_trajectory_interpret():
         assert rew.shape == (8, rr, 256), name
         assert np.isfinite(np.asarray(obs)).all(), name
         assert np.isfinite(np.asarray(rew)).all(), name
+
+
+def test_generic_fused_policy_rollout_interpret():
+    from mpe_tpu.learner import init_policy
+    from mpe_tpu.ops.fused_policy import fused_policy_rollout
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    for name in ("simple_tag", "simple_speaker_listener"):
+        k = kernel_scenario(name)
+        dim_c = k.spec.dim_c if k.uses_comm else 0
+        params = init_policy(jax.random.PRNGKey(0), k.obs_w, 5 + dim_c,
+                             hidden=16)
+        run = fused_policy_rollout(k, params, n_envs=256, n_steps=16,
+                                   horizon=8, block_envs=128, interpret=True)
+        ret, pos, eps = run(0, params)
+        assert ret.shape == (k.reward_rows, 256), name
+        assert np.isfinite(np.asarray(ret)).all(), name
+        np.testing.assert_array_equal(
+            np.asarray(eps), np.full((1, 256), 2.0, np.float32))
