@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Data-parallel REINFORCE on any scenario: envs sharded over the device
+mesh, gradients pmean-reduced, all rollout compute on device.
+
+    python examples/train.py --scenario simple_spread --iters 50
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="simple_spread")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--n-envs", type=int, default=64)
+    ap.add_argument("--n-steps", type=int, default=25)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs import MpeEnv
+    from mpe_tpu.learner import build_train_step, init_policy
+    from mpe_tpu.parallel import env_mesh
+
+    scn = scenarios.load(args.scenario)
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    n_envs = args.n_envs - args.n_envs % mesh.devices.size
+    params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
+                         env.action_width)
+    train = build_train_step(env, mesh, n_envs=n_envs,
+                             n_steps=args.n_steps, lr=args.lr)
+    key = jax.random.PRNGKey(1)
+    for it in range(args.iters):
+        params, loss = train(params, jax.random.fold_in(key, it))
+        if it % 10 == 0 or it == args.iters - 1:
+            print(f"iter {it:4d}  loss {float(loss):+.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ from mpe_tpu.parallel.mesh import (
     build_rollout,
     sharded_rollout,
     fold_host_key,
+    init_multihost,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "build_rollout",
     "sharded_rollout",
     "fold_host_key",
+    "init_multihost",
 ]

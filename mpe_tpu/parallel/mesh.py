@@ -159,3 +159,28 @@ def sharded_rollout(
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0, f"n_envs {n_envs} not divisible by {n_dev} devices"
     return build_rollout(env, n_envs, n_steps, mesh=mesh, **kwargs)
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None,
+                   axis_name: str = "env") -> Mesh:
+    """Multi-host entry: initialize the JAX distributed runtime (ICI
+    within a slice, DCN across hosts) and return the global env mesh.
+
+    Call once per host before building rollouts; combine with
+    ``fold_host_key`` for distinct per-host RNG streams. On single-host
+    (or under a launcher that sets the cluster env vars) all arguments
+    may be omitted. The reference has no multi-process machinery at all
+    (SURVEY.md §2.4) — envs shard over every device in the pod and the
+    hot path stays collective-free.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return env_mesh(axis_name=axis_name)
