@@ -94,3 +94,35 @@ def test_env_minor_sharded_trajectory():
     # env-minor: obs [T, A, O, N]
     assert traj["obs"].shape == (3, 3, 18, 16)
     assert states.pos.shape == (6, 2, 16)
+
+
+def test_reinforce_actually_learns_simple():
+    """End-to-end learning signal: 150 DP-REINFORCE iterations on the
+    `simple` scenario materially improve evaluated returns (the whole
+    loop — rollout, grads, pmean, eval — stays on the virtual mesh)."""
+    from mpe_tpu.learner import build_train_step, init_policy, sample_actions
+
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
+                         env.action_width, hidden=32)
+    train = build_train_step(env, mesh, n_envs=32, n_steps=20, lr=5e-3)
+
+    def eval_returns(params, n_envs=64, n_steps=20):
+        def pol(obs, key):
+            acts, _ = jax.vmap(
+                lambda o, k: sample_actions(env, params, o, k),
+                in_axes=(-1, 0), out_axes=(-1, 0),
+            )(obs, jax.random.split(key, n_envs))
+            return acts
+        r = build_rollout(env, n_envs, n_steps, policy=pol, env_axis=-1)
+        _, tot = r(jax.random.PRNGKey(99))
+        return float(tot) / (n_envs * n_steps)
+
+    r0 = eval_returns(params)
+    key = jax.random.PRNGKey(1)
+    for it in range(150):
+        params, _ = train(params, jax.random.fold_in(key, it))
+    r1 = eval_returns(params)
+    assert r1 > r0 + 0.5, (r0, r1)  # measured: -2.0 -> ~-0.7
