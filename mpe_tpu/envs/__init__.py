@@ -1,6 +1,7 @@
 from mpe_tpu.envs.functional import MpeEnv
 from mpe_tpu.envs.wrappers import MultiAgentEnv, VecMultiAgentEnv, pack_actions
 from mpe_tpu.envs import spaces
+from mpe_tpu.envs.parallel_api import ParallelEnv, parallel_env
 
 # legacy alias for reference users (environment.py:288 BatchMultiAgentEnv)
 BatchMultiAgentEnv = VecMultiAgentEnv
@@ -12,4 +13,6 @@ __all__ = [
     "BatchMultiAgentEnv",
     "pack_actions",
     "spaces",
+    "ParallelEnv",
+    "parallel_env",
 ]

@@ -131,3 +131,43 @@ def test_scripted_agent_hook():
     d_scripted = np.linalg.norm(np.asarray(s1.pos[0]) - lm)
     d_plain = np.linalg.norm(np.asarray(s2.pos[0]) - lm)
     assert d_scripted < d_plain - 0.1
+
+
+def test_parallel_api_pettingzoo_style():
+    """PettingZoo Parallel API adapter: dict-keyed obs/rewards,
+    terminations/truncations split, agent naming conventions."""
+    import jax
+    import numpy as np
+    from mpe_tpu.envs.parallel_api import parallel_env
+
+    env = parallel_env("simple_tag", max_cycles=3, seed=1)
+    assert env.possible_agents == [
+        "adversary_0", "adversary_1", "adversary_2", "agent_0"]
+    obs, infos = env.reset(seed=7)
+    assert set(obs) == set(env.possible_agents)
+    assert obs["adversary_0"].shape == (16,) and obs["agent_0"].shape == (14,)
+    key = jax.random.PRNGKey(0)
+    t = 0
+    while env.agents:
+        key, sub = jax.random.split(key)
+        acts = {a: np.asarray(
+            jax.nn.one_hot(jax.random.randint(sub, (), 0, 5), 5))
+            for a in env.agents}
+        obs, rewards, terminations, truncations, infos = env.step(acts)
+        t += 1
+        assert not any(terminations.values())  # reference never terminates
+    assert t == 3 and all(truncations.values())
+    assert np.isfinite(list(rewards.values())).all()
+
+    # role-named scenarios
+    env2 = parallel_env("simple_speaker_listener")
+    assert env2.possible_agents == ["speaker_0", "listener_0"]
+    env3 = parallel_env("simple_world_comm")
+    assert env3.possible_agents[0] == "leadadversary_0"
+    assert env3.possible_agents[-1] == "agent_1"
+
+    # deterministic reset with the same seed
+    o1, _ = env.reset(seed=3)
+    o2, _ = env.reset(seed=3)
+    for a in env.possible_agents:
+        np.testing.assert_array_equal(o1[a], o2[a])
