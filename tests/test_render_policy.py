@@ -104,3 +104,14 @@ def test_interactive_cli_headless():
         capture_output=True, text=True, timeout=300, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-800:]
     assert "t=1 rewards=" in out.stdout
+
+
+def test_record_gif(tmp_path):
+    from mpe_tpu.render.video import record_gif
+
+    path = record_gif("simple_tag", str(tmp_path / "tag.gif"), n_steps=4)
+    import os
+    assert os.path.getsize(path) > 1000
+    from PIL import Image
+    im = Image.open(path)
+    assert im.n_frames == 4
