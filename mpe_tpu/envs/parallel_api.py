@@ -11,23 +11,25 @@ code ports directly:
         actions = {a: env.action_space(a).sample(key) for a in env.agents}
         obs, rewards, terminations, truncations, infos = env.step(actions)
 
-Semantics follow this repo's reference parity (the original OpenAI repo,
-not PettingZoo's fork — e.g. rewards keep the reference's shared-sum
-broadcast and self-collision quirk). Terminations are always False (the
-reference never terminates, environment.py:132-135); truncations fire at
-``max_cycles`` like PettingZoo's time limit.
+Actions are accepted in PettingZoo's native formats — a plain int for
+``Discrete`` spaces, an int vector for ``MultiDiscrete``, arrays for
+``Box`` — as well as the reference's one-hot format. Semantics follow
+this repo's reference parity (the original OpenAI repo, not PettingZoo's
+fork — e.g. rewards keep the reference's shared-sum broadcast and
+self-collision quirk). Terminations come from the scenario's ``done``
+hook (always False for the built-in scenarios, environment.py:132-135);
+truncations fire at ``max_cycles`` like PettingZoo's time limit.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-import jax
 import numpy as np
 
 from mpe_tpu.core.actions import ActionMode
-from mpe_tpu.envs.functional import MpeEnv
-from mpe_tpu.envs.wrappers import pack_actions
+from mpe_tpu.envs import spaces
+from mpe_tpu.envs.wrappers import MultiAgentEnv
 
 
 def default_agent_names(spec) -> list[str]:
@@ -53,8 +55,17 @@ _SPECIAL_NAMES = {
 }
 
 
+def _onehot(idx: int, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    out[int(idx)] = 1.0
+    return out
+
+
 class ParallelEnv:
-    """Agent-name-keyed parallel environment (PettingZoo Parallel API)."""
+    """Agent-name-keyed parallel environment (PettingZoo Parallel API).
+
+    A thin dict<->list translation over the stateful ``MultiAgentEnv``
+    wrapper (which owns keys, jit, obs/info splitting)."""
 
     def __init__(
         self,
@@ -62,26 +73,23 @@ class ParallelEnv:
         max_cycles: int = 25,
         action_mode: ActionMode = ActionMode.DISCRETE,
         seed: int = 0,
+        benchmark: bool = False,
     ):
         if isinstance(scenario, str):
             from mpe_tpu import scenarios as registry
 
             scenario = registry.load(scenario)
-        self.env = MpeEnv(scenario, action_mode=action_mode)
-        self.scenario = scenario
+        self._env = MultiAgentEnv(scenario, action_mode=action_mode,
+                                  seed=seed, benchmark=benchmark)
         self.max_cycles = max_cycles
-        spec = self.env.spec
+        spec = self._env.world_spec
         self.possible_agents = _SPECIAL_NAMES.get(
             spec.name, default_agent_names(spec))
         self.agents: list[str] = []
         self._action_spaces = dict(
-            zip(self.possible_agents, self.env.action_spaces()))
+            zip(self.possible_agents, self._env.action_space))
         self._obs_spaces = dict(
-            zip(self.possible_agents, self.env.observation_spaces()))
-        self._key = jax.random.PRNGKey(seed)
-        self._jit_reset = jax.jit(self.env.reset)
-        self._jit_step = jax.jit(self.env.step)
-        self._state = None
+            zip(self.possible_agents, self._env.observation_space))
         self._t = 0
 
     # -- spaces ----------------------------------------------------------
@@ -95,55 +103,58 @@ class ParallelEnv:
     def num_agents(self) -> int:
         return len(self.agents)
 
+    # -- action-format translation ---------------------------------------
+    def _to_reference_format(self, agent: str, action: Any):
+        """PettingZoo-native action -> the reference per-agent format that
+        ``pack_actions`` consumes (one-hot segments)."""
+        space = self._action_spaces[agent]
+        if isinstance(space, spaces.Discrete):
+            a = np.asarray(action)
+            if a.ndim == 0:                       # plain int (PettingZoo)
+                return _onehot(int(a), space.n)
+            return a                              # already one-hot
+        if isinstance(space, spaces.MultiDiscrete):
+            a = np.asarray(action).ravel()
+            widths = [hi - lo + 1 for lo, hi in zip(space.low, space.high)]
+            if len(a) == len(widths):             # int per sub-space
+                return np.concatenate(
+                    [_onehot(int(v), w) for v, w in zip(a, widths)])
+            return a                              # concatenated one-hots
+        if isinstance(space, spaces.Tuple):
+            return np.concatenate([np.asarray(x).ravel() for x in action])
+        return np.asarray(action)                 # Box
+
     # -- episode ----------------------------------------------------------
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
-
-    def _split_obs(self, obs) -> dict[str, np.ndarray]:
-        obs = np.asarray(obs)
-        return {
-            name: obs[i, :d]
-            for i, (name, d) in enumerate(
-                zip(self.possible_agents, self.scenario.obs_dims))
-        }
-
     def reset(self, seed: int | None = None):
         if seed is not None:
-            self._key = jax.random.PRNGKey(seed)
-        self._state, obs = self._jit_reset(self._next_key())
+            self._env.seed(seed)
+        obs_n = self._env.reset()
         self._t = 0
         self.agents = list(self.possible_agents)
         infos: dict[str, dict[str, Any]] = {a: {} for a in self.agents}
-        return self._split_obs(obs), infos
+        return dict(zip(self.possible_agents, obs_n)), infos
 
     def step(self, actions: dict[str, Any]):
         assert self.agents, "step() called on a finished episode; reset()"
         missing = set(self.agents) - set(actions)
         assert not missing, f"missing actions for {sorted(missing)}"
-        action_n = [actions[a] for a in self.possible_agents]
-        packed = pack_actions(self.env, action_n)
-        self._state, obs, reward, done, info = self._jit_step(
-            self._state, packed, self._next_key())
+        action_n = [self._to_reference_format(a, actions[a])
+                    for a in self.possible_agents]
+        obs_n, reward_n, done_n, info_n = self._env.step(action_n)
         self._t += 1
-        reward = np.asarray(reward)
-        rewards = {a: float(reward[i])
-                   for i, a in enumerate(self.possible_agents)}
-        # reference never terminates; PettingZoo-style truncation at the
-        # time limit
+        names = self.possible_agents
+        rewards = dict(zip(names, reward_n))
+        # scenario done hook -> terminations; max_cycles -> truncations
+        terminations = dict(zip(names, done_n))
         trunc = self._t >= self.max_cycles
-        terminations = {a: False for a in self.possible_agents}
-        truncations = {a: trunc for a in self.possible_agents}
-        host_info = {k: np.asarray(v) for k, v in (info or {}).items()}
-        infos = {a: {k: (v[i] if v.ndim and v.shape[0] == len(
-            self.possible_agents) else v) for k, v in host_info.items()}
-            for i, a in enumerate(self.possible_agents)}
-        if trunc:
+        truncations = {a: trunc for a in names}
+        infos = dict(zip(names, info_n["n"]))
+        if trunc or all(done_n):
             self.agents = []
-        return self._split_obs(obs), rewards, terminations, truncations, infos
+        return dict(zip(names, obs_n)), rewards, terminations, truncations, infos
 
     def close(self):
-        pass
+        self._env.close()
 
 
 def parallel_env(scenario, **kwargs) -> ParallelEnv:

@@ -19,7 +19,6 @@ def record_episode(
     env: MultiAgentEnv,
     n_steps: int = 50,
     policy: Callable | None = None,
-    size: int = 700,
 ) -> list[np.ndarray]:
     """Roll one episode and return rgb frames (one per step, first
     viewer). ``policy(obs_n) -> action_n`` defaults to random actions."""
@@ -46,6 +45,8 @@ def save_gif(frames: list[np.ndarray], path: str, fps: int = 15,
     """Write frames to an animated GIF (PIL); returns the path."""
     from PIL import Image
 
+    if not frames:
+        raise ValueError("no frames to save")
     imgs = []
     for f in frames:
         im = Image.fromarray(np.asarray(f))

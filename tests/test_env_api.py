@@ -150,13 +150,18 @@ def test_parallel_api_pettingzoo_style():
     t = 0
     while env.agents:
         key, sub = jax.random.split(key)
-        acts = {a: np.asarray(
-            jax.nn.one_hot(jax.random.randint(sub, (), 0, 5), 5))
-            for a in env.agents}
+        # the documented PettingZoo loop: native space samples (plain
+        # ints for Discrete), converted by the adapter
+        acts = {a: env.action_space(a).sample(jax.random.fold_in(sub, i))
+                for i, a in enumerate(env.agents)}
         obs, rewards, terminations, truncations, infos = env.step(acts)
         t += 1
         assert not any(terminations.values())  # reference never terminates
     assert t == 3 and all(truncations.values())
+    # one-hot format still accepted
+    env.reset(seed=1)
+    env.step({a: np.asarray(jax.nn.one_hot(1, 5))
+              for a in env.possible_agents})
     assert np.isfinite(list(rewards.values())).all()
 
     # role-named scenarios
