@@ -207,7 +207,10 @@ def make_spec(
         movable=movable,
         collide=collide,
         size=size,
-        initial_mass=np.concatenate([seq(mass, a, 1.0), seq(mass, l, 1.0)]),
+        initial_mass=(
+            seq(mass, a + l, 1.0)
+            if isinstance(mass, (list, tuple, np.ndarray)) and len(mass) == a + l
+            else np.concatenate([seq(mass, a, 1.0), seq(mass, l, 1.0)])),
         max_speed=max_speed,
         silent=bcast(agent_silent, a, None, bool),
         adversary=bcast(adversary, a, None, bool),
