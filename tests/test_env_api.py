@@ -176,3 +176,30 @@ def test_parallel_api_pettingzoo_style():
     o2, _ = env.reset(seed=3)
     for a in env.possible_agents:
         np.testing.assert_array_equal(o1[a], o2[a])
+
+
+def test_aec_api_pettingzoo_style():
+    """AEC (sequential) adapter: agent_iter/last/step cycle, buffered
+    actions advancing the world once per full cycle."""
+    import jax
+    import numpy as np
+    from mpe_tpu.envs.aec_api import aec_env
+
+    env = aec_env("simple_spread", max_cycles=2, seed=0)
+    env.reset(seed=5)
+    key = jax.random.PRNGKey(0)
+    seen = []
+    for agent in env.agent_iter(max_iter=100):
+        obs, reward, term, trunc, info = env.last()
+        if term or trunc:
+            env.step(None)
+            continue
+        assert obs.shape == (18,)
+        key, sub = jax.random.split(key)
+        env.step(int(jax.random.randint(sub, (), 0, 5)))
+        seen.append(agent)
+    # 3 agents x 2 cycles acted, then 3 removals after truncation
+    assert seen == ["agent_0", "agent_1", "agent_2"] * 2
+    assert env.agents == []
+    assert all(env.truncations.values())
+    assert np.isfinite(list(env.rewards.values())).all()
