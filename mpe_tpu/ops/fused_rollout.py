@@ -229,56 +229,6 @@ def make_uniform(seed_ref, interpret: bool, *extra_salts):
     return uniform, seed_hw
 
 
-def _spread_rollout_kernel(
-    seed_ref, pos_out, vel_out, rew_out, obs_sum_out,
-    *, spec: ScenarioSpec, n_steps: int, horizon: int, block_envs: int,
-    interpret: bool = False,
-):
-    a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
-    n = block_envs
-    f32 = jnp.float32
-
-    uniform, seed_hw = make_uniform(seed_ref, interpret)
-    seed_hw()
-
-    def sample_pos(rows, step, call_id):
-        # uniform [-1, 1) (simple_spread.py:39-45 reset_world)
-        return uniform((rows, p, n), step, call_id) * 2.0 - 1.0
-
-    zero = jnp.zeros((), jnp.int32)
-    carry0 = (
-        sample_pos(a, zero, 0),           # agent pos
-        jnp.zeros((a, p, n), f32),        # agent vel
-        sample_pos(l, zero, 1),           # landmark pos
-        jnp.zeros((1, n), jnp.int32),     # per-lane step count
-        jnp.zeros((1, n), f32),           # shared-reward accumulator
-        jnp.zeros((1, n), f32),           # obs checksum accumulator
-    )
-
-    def body(step, carry):
-        apos, avel, lpos, t, rew_acc, obs_acc = carry
-        move = uniform((a, 2 * p + 1, n), step, 2)
-        apos, avel, rew, obs = spread_step_block(spec, apos, avel, lpos, move)
-        rew_acc = rew_acc + rew
-        obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
-                                    keepdims=True)
-        # horizon + per-lane auto-reset, fully on-chip
-        t = t + 1
-        done = t >= horizon                                   # [1, n]
-        apos = jnp.where(done[None], sample_pos(a, step, 3), apos)
-        lpos = jnp.where(done[None], sample_pos(l, step, 4), lpos)
-        avel = jnp.where(done[None], jnp.zeros_like(avel), avel)
-        t = jnp.where(done, 0, t)
-        return apos, avel, lpos, t, rew_acc, obs_acc
-
-    apos, avel, lpos, t, rew_acc, obs_acc = jax.lax.fori_loop(
-        0, n_steps, body, carry0)
-    pos_out[:] = jnp.concatenate([apos, lpos], axis=0)
-    vel_out[:] = jnp.concatenate([avel, jnp.zeros_like(lpos)], axis=0)
-    rew_out[:] = rew_acc
-    obs_sum_out[:] = obs_acc
-
-
 def fused_spread_rollout(
     spec: ScenarioSpec,
     n_envs: int,
@@ -287,53 +237,20 @@ def fused_spread_rollout(
     block_envs: int = 1024,
     interpret: bool = False,
 ):
-    """Build the fused rollout: ``run(seed) -> (pos, vel, rew_sum,
-    obs_checksum)`` with pos/vel env-minor ``[E, P, n_envs]``.
+    """Fused rollout for simple_spread (the benchmark scenario): a thin
+    wrapper over the generic ``fused_rollout`` with the spread kernel
+    blocks. ``run(seed) -> (pos, vel, rew_sum [1, N], obs_checksum)``
+    with pos/vel env-minor ``[E, P, n_envs]``.
 
     The obs checksum output keeps observation assembly live (it would
     otherwise be dead code under a random policy) so the bench measures
     the full step: decode + physics + reward + obs.
     """
-    assert n_envs % block_envs == 0, (n_envs, block_envs)
-    n_blocks = n_envs // block_envs
-    e, p, a = spec.n_entities, spec.dim_p, spec.n_agents
+    from mpe_tpu.ops.kernel_scenarios import KernelSpread
 
-    kernel = functools.partial(
-        _spread_rollout_kernel, spec=spec, n_steps=n_steps,
-        horizon=horizon, block_envs=block_envs, interpret=interpret)
-
-    grid_spec = pl.GridSpec(
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
-            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, p, block_envs), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_envs), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_envs), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
-            jax.ShapeDtypeStruct((e, p, n_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_envs), jnp.float32),
-        ),
-        interpret=interpret,
-    )
-
-    @jax.jit
-    def run(seed):
-        return call(jnp.asarray([seed], jnp.int32))
-
-    return run
+    return fused_rollout(KernelSpread(spec), n_envs, n_steps,
+                         horizon=horizon, block_envs=block_envs,
+                         interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
