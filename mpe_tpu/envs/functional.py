@@ -68,6 +68,10 @@ class MpeEnv:
     ) -> tuple[WorldState, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
         """-> (state, obs [A,W], reward [A], done [A] bool, info dict)."""
         spec, scn = self.spec, self.scenario
+        assert actions.shape == (self.n_agents, self.action_width), (
+            f"actions must be [{self.n_agents}, {self.action_width}] "
+            f"(canonical {self.action_mode.value} layout; add leading axes "
+            f"via vmap), got {actions.shape}")
         if self.auto_reset or spec.u_noise.any() or spec.c_noise.any():
             assert key is not None, "this env config consumes a key per step"
         knoise = kreset = None

@@ -20,7 +20,6 @@ environment.py:309-322; SURVEY.md §2.4). The TPU-native scaling model:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
