@@ -1,0 +1,219 @@
+"""PPO learner: actor-critic MLP, GAE, clipped surrogate objective,
+data-parallel over the env mesh — entirely on device.
+
+Demonstrates the intended consumption pattern for the engine's
+trajectories at production scale (the reference emits (obs, reward, done,
+info) for an external learner; here the whole loop is jitted):
+
+  - rollout: one ``lax.scan`` over the vmapped env step, policy sampling
+    on device, storing (obs, action, logp, value, reward, done);
+  - GAE advantages via a reverse scan;
+  - update: ``ppo_epochs`` passes of the clipped objective + value loss +
+    entropy bonus over the full batch;
+  - data parallelism: envs sharded on the ``('env',)`` mesh axis via
+    ``shard_map``, gradients ``pmean``-reduced (same model as
+    learner/pg.py).
+
+Parameter-shared across agents: every agent's transitions train the same
+network (the standard MPE baseline setup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mpe_tpu.core.actions import ActionMode
+from mpe_tpu.envs.functional import MpeEnv
+
+
+def init_ac(key, obs_dim: int, act_dim: int, hidden: int = 64,
+            dtype=jnp.float32) -> dict[str, Any]:
+    """Actor-critic MLP: shared torso, policy + value heads."""
+    ks = jax.random.split(key, 4)
+
+    def dense(k, i, o, scale=None):
+        s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
+        return {"w": jax.random.normal(k, (i, o), dtype) * s,
+                "b": jnp.zeros((o,), dtype)}
+
+    return {
+        "l1": dense(ks[0], obs_dim, hidden),
+        "l2": dense(ks[1], hidden, hidden),
+        "pi": dense(ks[2], hidden, act_dim, scale=jnp.asarray(0.01, dtype)),
+        "v": dense(ks[3], hidden, 1),
+    }
+
+
+def _torso(params, obs):
+    x = obs.astype(params["l1"]["w"].dtype)
+    x = jnp.tanh(x @ params["l1"]["w"] + params["l1"]["b"])
+    return jnp.tanh(x @ params["l2"]["w"] + params["l2"]["b"])
+
+
+def policy_value(params, obs):
+    """obs [..., O] -> (move logits [..., K], value [...])."""
+    h = _torso(params, obs)
+    logits = (h @ params["pi"]["w"] + params["pi"]["b"]).astype(jnp.float32)
+    value = (h @ params["v"]["w"] + params["v"]["b"])[..., 0].astype(
+        jnp.float32)
+    return logits, value
+
+
+class Transition(NamedTuple):
+    obs: jax.Array      # [A, O]
+    act: jax.Array      # [A] int32 move index
+    logp: jax.Array     # [A]
+    value: jax.Array    # [A]
+    reward: jax.Array   # [A]
+    done: jax.Array     # [A] bool
+
+
+def build_ppo_step(
+    env: MpeEnv,
+    mesh: Mesh,
+    n_envs: int,
+    n_steps: int = 64,
+    lr: float = 3e-4,
+    gamma: float = 0.95,
+    lam: float = 0.95,
+    clip: float = 0.2,
+    vf_coef: float = 0.5,
+    ent_coef: float = 0.01,
+    ppo_epochs: int = 4,
+    anneal_iters: int | None = None,
+    axis_name: str = "env",
+):
+    """Jitted data-parallel PPO iteration:
+    ``ppo_step(train_state, key) -> (train_state, metrics dict)`` where
+    ``train_state = (params, opt_state)`` (build with ``init_state``
+    below, or pass ``(params, ppo_step.init_opt(params))``).
+
+    Move-only policies (the comm slice stays zero); every agent's
+    transitions train the shared network. Adam optimizer — the value and
+    policy gradients differ by ~100x in scale through the shared torso,
+    which plain SGD cannot balance.
+    """
+    assert env.action_mode is ActionMode.DISCRETE
+    # linear LR decay over anneal_iters*ppo_epochs updates counters the
+    # late-training drift typical of small-batch PPO
+    sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
+             if anneal_iters else lr)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(sched))
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0
+    n_local = n_envs // n_dev
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    pad_c = env.action_width - mw
+
+    def sample(params, obs, key):
+        logits, value = policy_value(params, obs)          # [A, K], [A]
+        idx = jax.random.categorical(key, logits)          # [A]
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
+        onehot = jax.nn.one_hot(idx, mw, dtype=env.dtype)
+        acts = jnp.concatenate(
+            [onehot, jnp.zeros((a, pad_c), env.dtype)], axis=-1)
+        return acts, idx, logp, value
+
+    def rollout(params, key):
+        """-> Transition pytree with leaves [T, n_local, A, ...]."""
+        kr, ks = jax.random.split(key)
+        states, obs = jax.vmap(env.reset)(jax.random.split(kr, n_local))
+
+        def body(carry, k):
+            states, obs = carry
+            ka, kstep = jax.random.split(k)
+            acts, idx, logp, value = jax.vmap(
+                lambda o, kk: sample(params, o, kk))(
+                obs, jax.random.split(ka, n_local))
+            states, obs2, rew, done, _ = jax.vmap(env.step)(
+                states, acts, jax.random.split(kstep, n_local))
+            tr = Transition(obs, idx, logp, value, rew, done)
+            return (states, obs2), (tr, obs2)
+
+        (_, last_obs), (traj, _) = jax.lax.scan(
+            body, (states, obs), jax.random.split(ks, n_steps))
+        _, last_value = jax.vmap(lambda o: policy_value(params, o))(last_obs)
+        return traj, last_value
+
+    def gae(traj: Transition, last_value):
+        """Reverse-scan GAE; -> (advantages, returns) [T, n_local, A]."""
+        def body(carry, tr):
+            next_val, next_adv = carry
+            nonterm = 1.0 - tr.done.astype(jnp.float32)
+            delta = tr.reward + gamma * next_val * nonterm - tr.value
+            adv = delta + gamma * lam * nonterm * next_adv
+            return (tr.value, adv), adv
+
+        (_, _), advs = jax.lax.scan(
+            body, (last_value, jnp.zeros_like(last_value)), traj,
+            reverse=True)
+        return advs, advs + traj.value
+
+    def loss_fn(params, batch):
+        obs, act, logp_old, value_old, adv, ret = batch
+        logits, value = policy_value(params, obs)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), act[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(logp - logp_old)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv_n,
+            jnp.clip(ratio, 1 - clip, 1 + clip) * adv_n).mean()
+        # PPO-style clipped value loss: limits how far the critic moves
+        # from its rollout-time predictions per iteration
+        v_clip = value_old + jnp.clip(value - value_old, -10.0, 10.0)
+        vloss = jnp.maximum(jnp.square(value - ret),
+                            jnp.square(v_clip - ret)).mean()
+        ent = -jnp.sum(
+            jax.nn.softmax(logits) * jax.nn.log_softmax(logits),
+            axis=-1).mean()
+        return pg + vf_coef * vloss - ent_coef * ent, (pg, vloss, ent)
+
+    def local_update(state, key):
+        params, opt_state = state
+        kr, _ = jax.random.split(key)
+        traj, last_value = rollout(params, kr)
+        adv, ret = gae(traj, last_value)
+        batch = (traj.obs, traj.act, traj.logp, traj.value, adv, ret)
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, *aux)
+
+        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
+            epoch, (params, opt_state), jnp.arange(ppo_epochs))
+        mean_rew = jax.lax.pmean(traj.reward.mean(), axis_name)
+        metrics = {
+            "loss": jax.lax.pmean(losses[-1], axis_name),
+            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
+            "v_loss": jax.lax.pmean(vls[-1], axis_name),
+            "entropy": jax.lax.pmean(ents[-1], axis_name),
+            "mean_reward": mean_rew,
+        }
+        return (params, opt_state), metrics
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+             out_specs=(P(), P()), check_vma=False)
+    def sharded(state, keys):
+        return local_update(state, keys[0])
+
+    @jax.jit
+    def ppo_step(state, key):
+        return sharded(state, jax.random.split(key, n_dev))
+
+    ppo_step.init_state = lambda params: (params, opt.init(params))
+    return ppo_step

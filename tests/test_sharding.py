@@ -126,3 +126,34 @@ def test_reinforce_actually_learns_simple():
         params, _ = train(params, jax.random.fold_in(key, it))
     r1 = eval_returns(params)
     assert r1 > r0 + 0.5, (r0, r1)  # measured: -2.0 -> ~-0.7
+
+
+def test_ppo_learns_simple():
+    """PPO (actor-critic, GAE, clipped objective, Adam+annealing, DP over
+    the mesh) reaches near-optimal greedy behavior on `simple`."""
+    from mpe_tpu.learner.ppo import build_ppo_step, init_ac, policy_value
+
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    params = init_ac(jax.random.PRNGKey(0), scn.obs_width, 5, hidden=32)
+    step = build_ppo_step(env, mesh, n_envs=128, n_steps=32, lr=3e-4,
+                          ppo_epochs=2, vf_coef=0.25, anneal_iters=300)
+    state = step.init_state(params)
+
+    def greedy_eval(params, n_envs=64, n_steps=25):
+        def pol(obs, key):
+            logits, _ = jax.vmap(lambda o: policy_value(params, o),
+                                 in_axes=-1, out_axes=-1)(obs)
+            return jax.nn.one_hot(jnp.argmax(logits, axis=1), 5,
+                                  dtype=env.dtype, axis=1)
+        r = build_rollout(env, n_envs, n_steps, policy=pol, env_axis=-1)
+        _, tot = r(jax.random.PRNGKey(123))
+        return float(tot) / (n_envs * n_steps)
+
+    g0 = greedy_eval(state[0])
+    key = jax.random.PRNGKey(1)
+    for it in range(1, 301):
+        state, m = step(state, jax.random.fold_in(key, it))
+    g1 = greedy_eval(state[0])
+    assert g0 < -3.0 and g1 > -1.0, (g0, g1)  # measured: -4.6 -> ~-0.3
