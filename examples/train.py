@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--n-envs", type=int, default=64)
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--algo", default="reinforce", choices=["reinforce", "ppo"])
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -34,15 +35,30 @@ def main():
     env = MpeEnv(scn)
     mesh = env_mesh()
     n_envs = args.n_envs - args.n_envs % mesh.devices.size
-    params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
-                         env.action_width)
-    train = build_train_step(env, mesh, n_envs=n_envs,
-                             n_steps=args.n_steps, lr=args.lr)
     key = jax.random.PRNGKey(1)
-    for it in range(args.iters):
-        params, loss = train(params, jax.random.fold_in(key, it))
-        if it % 10 == 0 or it == args.iters - 1:
-            print(f"iter {it:4d}  loss {float(loss):+.4f}")
+    if args.algo == "ppo":
+        from mpe_tpu.learner import build_ppo_step, init_ac
+
+        params = init_ac(jax.random.PRNGKey(0), scn.obs_width,
+                         2 * env.spec.dim_p + 1)
+        step = build_ppo_step(env, mesh, n_envs=max(n_envs, mesh.devices.size),
+                              n_steps=args.n_steps, lr=args.lr,
+                              anneal_iters=args.iters)
+        state = step.init_state(params)
+        for it in range(args.iters):
+            state, m = step(state, jax.random.fold_in(key, it))
+            if it % 10 == 0 or it == args.iters - 1:
+                print(f"iter {it:4d}  reward/step {float(m['mean_reward']):+.3f}"
+                      f"  entropy {float(m['entropy']):.3f}")
+    else:
+        params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
+                             env.action_width)
+        train = build_train_step(env, mesh, n_envs=n_envs,
+                                 n_steps=args.n_steps, lr=args.lr)
+        for it in range(args.iters):
+            params, loss = train(params, jax.random.fold_in(key, it))
+            if it % 10 == 0 or it == args.iters - 1:
+                print(f"iter {it:4d}  loss {float(loss):+.4f}")
 
 
 if __name__ == "__main__":
