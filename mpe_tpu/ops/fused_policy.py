@@ -193,7 +193,9 @@ def fused_policy_rollout(
     else:
         kscn = kernel_scenario(scenario_or_spec)
     spec = kscn.spec
-    assert n_envs % block_envs == 0
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+
+    block_envs = pick_block_envs(n_envs, block_envs)
     n_blocks = n_envs // block_envs
     e, p = spec.n_entities, spec.dim_p
 

@@ -343,6 +343,15 @@ def _generic_rollout_kernel(
     obs_sum_out[:] = obs_acc
 
 
+def pick_block_envs(n_envs: int, requested: int = 1024) -> int:
+    """Largest divisor of ``n_envs`` not exceeding ``requested`` (1024 is
+    the measured sweet spot — PERF.md); lets any env count work."""
+    b = max(1, min(requested, n_envs))
+    while n_envs % b:
+        b -= 1
+    return b
+
+
 def fused_rollout(
     scenario,
     n_envs: int,
@@ -359,7 +368,7 @@ def fused_rollout(
     kscn = (scenario if isinstance(scenario, KernelScenario)
             else kernel_scenario(scenario))
     spec = kscn.spec
-    assert n_envs % block_envs == 0, (n_envs, block_envs)
+    block_envs = pick_block_envs(n_envs, block_envs)
     n_blocks = n_envs // block_envs
     e, p = spec.n_entities, spec.dim_p
 
@@ -428,11 +437,7 @@ def sharded_fused_rollout(
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0, (n_envs, n_dev)
     local_envs = n_envs // n_dev
-    # largest divisor of local_envs not exceeding block_envs, so valid
-    # (n_envs, n_dev) combinations never trip the per-device assert
-    local_blocks = max(1, min(block_envs, local_envs))
-    while local_envs % local_blocks:
-        local_blocks -= 1
+    local_blocks = pick_block_envs(local_envs, block_envs)
     local_run = fused_rollout(scenario, local_envs, n_steps, horizon=horizon,
                               block_envs=local_blocks, interpret=interpret)
 

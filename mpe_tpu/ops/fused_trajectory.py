@@ -134,7 +134,9 @@ def fused_trajectory(
     kscn = (scenario if isinstance(scenario, KernelScenario)
             else kernel_scenario(scenario))
     spec = kscn.spec
-    assert n_envs % block_envs == 0
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+
+    block_envs = pick_block_envs(n_envs, block_envs)
     assert n_steps % t_chunk == 0
     n_blocks = n_envs // block_envs
     n_chunks = n_steps // t_chunk
