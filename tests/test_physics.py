@@ -125,3 +125,30 @@ def test_step_is_jit_vmap_consistent():
             np.asarray(batched.pos[i]), np.asarray(single[i].pos), rtol=1e-12)
         np.testing.assert_allclose(
             np.asarray(batched.vel[i]), np.asarray(single[i].vel), rtol=1e-12)
+
+
+def test_f32_drift_vs_f64_bounded():
+    """Production runs use float32; quantify its divergence from the
+    float64 oracle over a 100-step horizon (chaotic collision dynamics
+    amplify rounding, so exact bounds matter: positions must stay within
+    1e-3 of the f64 trajectory for a full episode in a colliding world)."""
+    import jax
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs.functional import MpeEnv
+
+    scn = scenarios.load("simple_spread")
+    env64 = MpeEnv(scn, dtype=jnp.float64)
+    env32 = MpeEnv(scn, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    s64, _ = env64.reset(key)
+    s32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, s64)
+    acts64 = jax.random.uniform(jax.random.PRNGKey(1), (100, 3, 7),
+                                jnp.float64)
+    max_drift = 0.0
+    for t in range(100):
+        s64, *_ = env64.step(s64, acts64[t])
+        s32, *_ = env32.step(s32, acts64[t].astype(jnp.float32))
+        max_drift = max(max_drift, float(
+            jnp.max(jnp.abs(s64.pos - s32.pos.astype(jnp.float64)))))
+    assert max_drift < 1e-3, max_drift
