@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpe_tpu.ops.fused_rollout import make_uniform
+from mpe_tpu.ops.fused_rollout import make_samplers, make_uniform
 
 
 def _gumbel_onehot(logits, u, f32=jnp.float32):
@@ -96,27 +96,12 @@ def _policy_rollout_kernel(
     n_goals = len(goal_choices)
     uniform, seed_hw = make_uniform(seed_ref, interpret)
     seed_hw()
-
-    ar, lr = kscn.reset_ranges()
-
-    def sample_state(step, call_id):
-        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
-        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
-        return jnp.concatenate([apos, lpos], axis=0)
-
-    def sample_goal(step, call_id):
-        if not n_goals:
-            return None
-        rows = []
-        for gi, k in enumerate(goal_choices):
-            u = uniform((1, n), step, call_id + 2 + gi)
-            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
-        return jnp.concatenate(rows, axis=0)
+    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
 
     zero = jnp.zeros((), jnp.int32)
-    pos0 = sample_state(zero, 0)
+    pos0 = sample_state(zero, 0, n)
     vel0 = jnp.zeros((e, p, n), f32)
-    goal0 = sample_goal(zero, 8)
+    goal0 = sample_goal(zero, 8, n)
     comm0 = (jnp.zeros((a, spec.dim_c, n), f32) if kscn.uses_comm else None)
     _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0)
 
@@ -143,8 +128,8 @@ def _policy_rollout_kernel(
         done = t >= horizon
         eps = eps + done.astype(f32)
         # auto-reset (recompute obs for resampled lanes)
-        pos_f = sample_state(step, 3)
-        goal_f = sample_goal(step, 24)
+        pos_f = sample_state(step, 3, n)
+        goal_f = sample_goal(step, 24, n)
         comm_f = jnp.zeros_like(comm) if comm is not None else None
         _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
                                    goal_f)

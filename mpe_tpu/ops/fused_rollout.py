@@ -257,6 +257,45 @@ def fused_spread_rollout(
 # generic fused rollout over kernel-scenario blocks (ops/kernel_scenarios)
 # ---------------------------------------------------------------------------
 
+def make_samplers(kscn, uniform):
+    """Shared reset-sampling closures for the fused kernels: returns
+    ``(sample_state, sample_goal, sample_comm)`` drawing uniform entity
+    positions in the scenario's reset ranges, per-lane goal indices, and
+    silent-masked comm utterances (None-returning where the scenario has
+    no goals/comm)."""
+    spec = kscn.spec
+    a, l, p = spec.n_agents, spec.n_landmarks, spec.dim_p
+    goal_choices = tuple(getattr(kscn, "goal_choices", ()) or ())
+    dim_c = spec.dim_c if getattr(kscn, "uses_comm", False) else 0
+    ar, lr = kscn.reset_ranges()
+
+    def sample_state(step, call_id, n):
+        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
+        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
+        return jnp.concatenate([apos, lpos], axis=0)
+
+    def sample_goal(step, call_id, n):
+        if not goal_choices:
+            return None
+        rows = []
+        for gi, k in enumerate(goal_choices):
+            u = uniform((1, n), step, call_id + 2 + gi)
+            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
+        return jnp.concatenate(rows, axis=0)
+
+    def sample_comm(step, call_id, n):
+        if not dim_c:
+            return None
+        c = uniform((a, dim_c, n), step, call_id)
+        keep = [0.0 if spec.silent[i] else 1.0 for i in range(a)]
+        if all(x == 1.0 for x in keep):
+            return c
+        return jnp.stack([c[i] * keep[i] for i in range(a)])
+
+    return sample_state, sample_goal, sample_comm
+
+
+
 def _generic_rollout_kernel(
     seed_ref, pos_out, vel_out, rew_out, obs_sum_out,
     *, kscn, n_steps: int, horizon: int, block_envs: int,
@@ -270,49 +309,20 @@ def _generic_rollout_kernel(
 
     uniform, seed_hw = make_uniform(seed_ref, interpret)
     seed_hw()
-
-    ar, lr = kscn.reset_ranges()
-    goal_choices = tuple(getattr(kscn, "goal_choices", ()) or ())
-    n_goals = len(goal_choices)
-    dim_c = spec.dim_c if getattr(kscn, "uses_comm", False) else 0
-
-    def sample_state(step, call_id):
-        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
-        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
-        return jnp.concatenate([apos, lpos], axis=0)
-
-    def sample_goal(step, call_id):
-        # per-lane goal indices: floor(U[0,1) * k) in {0..k-1}
-        if not n_goals:
-            return None
-        rows = []
-        for gi, k in enumerate(goal_choices):
-            u = uniform((1, n), step, call_id + 2 + gi)
-            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
-        return jnp.concatenate(rows, axis=0)                  # [G, N]
-
-    def sample_comm(step, call_id):
-        # raw uniform comm utterances for non-silent agents, zeros for
-        # silent (matching the plain path's uniform full-width actions +
-        # core.py:173-174 silencing)
-        if not dim_c:
-            return None
-        c = uniform((a, dim_c, n), step, call_id)
-        keep = [0.0 if spec.silent[i] else 1.0 for i in range(a)]
-        if all(x == 1.0 for x in keep):
-            return c
-        return jnp.stack([c[i] * keep[i] for i in range(a)])
+    sample_state, sample_goal, sample_comm = make_samplers(kscn, uniform)
+    n_goals = len(tuple(getattr(kscn, "goal_choices", ()) or ()))
+    has_comm = bool(spec.dim_c) and getattr(kscn, "uses_comm", False)
 
     zero = jnp.zeros((), jnp.int32)
     carry0 = [
-        sample_state(zero, 0),
+        sample_state(zero, 0, n),
         jnp.zeros((e, p, n), f32),
         jnp.zeros((1, n), jnp.int32),
         jnp.zeros((kscn.reward_rows, n), f32),
         jnp.zeros((1, n), f32),
     ]
     if n_goals:
-        carry0.append(sample_goal(zero, 8))
+        carry0.append(sample_goal(zero, 8, n))
     carry0 = tuple(carry0)
 
     def body(step, carry):
@@ -320,19 +330,19 @@ def _generic_rollout_kernel(
         goal = extra[0] if n_goals else None
         move = uniform((a, 2 * p + 1, n), step, 2)
         pos, vel = kscn.physics(pos, vel, move)
-        comm = sample_comm(step, 16) if dim_c else None
+        comm = sample_comm(step, 16, n) if has_comm else None
         rew, obs = kscn.reward_obs(pos, vel, comm, goal)
         rew_acc = rew_acc + rew
         obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
                                     keepdims=True)
         t = t + 1
         done = t >= horizon
-        pos = jnp.where(done[None], sample_state(step, 3), pos)
+        pos = jnp.where(done[None], sample_state(step, 3, n), pos)
         vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
         t2 = jnp.where(done, 0, t)
         out = [pos, vel, t2, rew_acc, obs_acc]
         if n_goals:
-            out.append(jnp.where(done, sample_goal(step, 24), goal))
+            out.append(jnp.where(done, sample_goal(step, 24, n), goal))
         return tuple(out)
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpe_tpu.ops.fused_rollout import make_uniform
+from mpe_tpu.ops.fused_rollout import make_samplers, make_uniform
 
 
 def _traj_kernel(
@@ -58,45 +58,25 @@ def _traj_kernel(
     # stream carries across that block's consecutive chunks
     uniform, seed_hw = make_uniform(
         seed_ref, interpret, *((chunk_j,) if interpret else ()))
-
-    ar, lr = kscn.reset_ranges()
-
-    def sample_state(step, call_id):
-        apos = uniform((a, p, n), step, call_id) * (2.0 * ar) - ar
-        lpos = uniform((l, p, n), step, call_id + 1) * (2.0 * lr) - lr
-        return jnp.concatenate([apos, lpos], axis=0)
-
-    def sample_goal(step, call_id):
-        rows = []
-        for gi, k in enumerate(goal_choices):
-            u = uniform((1, n), step, call_id + 2 + gi)
-            rows.append(jnp.floor(u * float(k)).astype(jnp.int32))
-        return jnp.concatenate(rows, axis=0)
-
-    def sample_comm(step, call_id):
-        c = uniform((a, dim_c, n), step, call_id)
-        keep = [0.0 if spec.silent[i] else 1.0 for i in range(a)]
-        if all(x == 1.0 for x in keep):
-            return c
-        return jnp.stack([c[i] * keep[i] for i in range(a)])
+    sample_state, sample_goal, sample_comm = make_samplers(kscn, uniform)
 
     zero = jnp.zeros((), jnp.int32)
 
     @pl.when(chunk_j == 0)
     def _init_block():
         seed_hw()
-        pos_s[:] = sample_state(zero, 0)
+        pos_s[:] = sample_state(zero, 0, n)
         vel_s[:] = jnp.zeros((e, p, n), f32)
         t_s[:] = jnp.zeros((1, n), jnp.int32)
         if n_goals:
-            goal_s[:] = sample_goal(zero, 8)
+            goal_s[:] = sample_goal(zero, 8, n)
 
     def body(step, _):
         pos, vel, t = pos_s[:], vel_s[:], t_s[:]
         goal = goal_s[:] if n_goals else None
         move = uniform((a, 2 * p + 1, n), step, 2)
         pos, vel = kscn.physics(pos, vel, move)
-        comm = sample_comm(step, 16) if dim_c else None
+        comm = sample_comm(step, 16, n) if dim_c else None
         rew, obs = kscn.reward_obs(pos, vel, comm, goal)
         obs_out[pl.ds(step, 1)] = obs[None]
         act = (jnp.concatenate([move, comm], axis=1) if dim_c else move)
@@ -105,11 +85,11 @@ def _traj_kernel(
         # per-lane horizon auto-reset
         t = t + 1
         done = t >= horizon
-        pos_s[:] = jnp.where(done[None], sample_state(step, 3), pos)
+        pos_s[:] = jnp.where(done[None], sample_state(step, 3, n), pos)
         vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
         t_s[:] = jnp.where(done, 0, t)
         if n_goals:
-            goal_s[:] = jnp.where(done, sample_goal(step, 24), goal)
+            goal_s[:] = jnp.where(done, sample_goal(step, 24, n), goal)
         return 0
 
     jax.lax.fori_loop(0, t_chunk, body, 0)

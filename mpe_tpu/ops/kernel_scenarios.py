@@ -89,6 +89,15 @@ def generic_physics_block(spec: ScenarioSpec, pos, vel, move):
     return jnp.stack(new_pos), jnp.stack(new_vel)
 
 
+def color_rows_by_goal(goal_row, colors, n, dtype):
+    """[3, N] RGB rows of ``colors[goal]`` per lane (unrolled select)."""
+    return jnp.concatenate(
+        [select_by_goal(goal_row,
+                        [jnp.full((1, n), colors[j][ch], dtype)
+                         for j in range(len(colors))])
+         for ch in range(3)], axis=0)
+
+
 class KernelScenario:
     """Blocks consumed by the generic fused rollout. ``reward_obs``
     returns (reward rows [R, N] — R=1 for shared-reward scenarios, else
@@ -322,12 +331,8 @@ class KernelReference(KernelScenario):
                                       keepdims=True)
         rows = []
         for i, other in ((0, 1), (1, 0)):
-            # goal color rows: 3 rows selected per channel
-            color_rows = jnp.concatenate(
-                [select_by_goal(goal[i : i + 1],
-                                [jnp.full((1, n), self.LMK_COLORS[j][ch],
-                                          dtype) for j in range(3)])
-                 for ch in range(3)], axis=0)
+            color_rows = color_rows_by_goal(
+                goal[i : i + 1], self.LMK_COLORS, n, dtype)
             parts = [vel[i]]
             for j in (2, 3, 4):
                 parts.append(pos[j] - pos[i])
@@ -358,10 +363,7 @@ class KernelSpeakerListener(KernelScenario):
         d2 = jnp.sum(jnp.square(pos[1] - gpos), axis=0, keepdims=True)
         shared = -2.0 * d2                                     # sum of 2 agents
 
-        color_rows = jnp.concatenate(
-            [select_by_goal(g, [jnp.full((1, n), self.LMK_COLORS[j][ch],
-                                         dtype) for j in range(3)])
-             for ch in range(3)], axis=0)
+        color_rows = color_rows_by_goal(g, self.LMK_COLORS, n, dtype)
         speaker = jnp.concatenate(
             [color_rows, jnp.zeros((8, n), dtype)], axis=0)    # pad 3 -> 11
         listener = jnp.concatenate(
