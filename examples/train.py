@@ -18,7 +18,8 @@ def main():
     ap.add_argument("--n-envs", type=int, default=64)
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--lr", type=float, default=3e-3)
-    ap.add_argument("--algo", default="reinforce", choices=["reinforce", "ppo"])
+    ap.add_argument("--algo", default="reinforce",
+                    choices=["reinforce", "ppo", "mappo"])
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -36,14 +37,22 @@ def main():
     mesh = env_mesh()
     n_envs = args.n_envs - args.n_envs % mesh.devices.size
     key = jax.random.PRNGKey(1)
-    if args.algo == "ppo":
-        from mpe_tpu.learner import build_ppo_step, init_ac
+    if args.algo in ("ppo", "mappo"):
+        if args.algo == "mappo":
+            from mpe_tpu.learner import build_mappo_step, init_mappo
 
-        params = init_ac(jax.random.PRNGKey(0), scn.obs_width,
-                         2 * env.spec.dim_p + 1)
-        step = build_ppo_step(env, mesh, n_envs=max(n_envs, mesh.devices.size),
-                              n_steps=args.n_steps, lr=args.lr,
-                              anneal_iters=args.iters)
+            params = init_mappo(jax.random.PRNGKey(0), scn.obs_width,
+                                2 * env.spec.dim_p + 1, env.n_agents)
+            build = build_mappo_step
+        else:
+            from mpe_tpu.learner import build_ppo_step, init_ac
+
+            params = init_ac(jax.random.PRNGKey(0), scn.obs_width,
+                             2 * env.spec.dim_p + 1)
+            build = build_ppo_step
+        step = build(env, mesh, n_envs=max(n_envs, mesh.devices.size),
+                     n_steps=args.n_steps, lr=args.lr,
+                     anneal_iters=args.iters)
         state = step.init_state(params)
         for it in range(args.iters):
             state, m = step(state, jax.random.fold_in(key, it))

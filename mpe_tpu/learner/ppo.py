@@ -217,3 +217,184 @@ def build_ppo_step(
 
     ppo_step.init_state = lambda params: (params, opt.init(params))
     return ppo_step
+
+
+# ---------------------------------------------------------------------------
+# MAPPO: centralized critic over the joint observation (CTDE — the
+# standard cooperative-MPE recipe; actors stay decentralized)
+# ---------------------------------------------------------------------------
+
+def init_mappo(key, obs_dim: int, act_dim: int, n_agents: int,
+               hidden: int = 64, dtype=jnp.float32) -> dict[str, Any]:
+    """Decentralized actor (per-agent obs) + centralized critic (joint
+    obs of all agents)."""
+    ks = jax.random.split(key, 6)
+
+    def dense(k, i, o, scale=None):
+        s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
+        return {"w": jax.random.normal(k, (i, o), dtype) * s,
+                "b": jnp.zeros((o,), dtype)}
+
+    return {
+        "a1": dense(ks[0], obs_dim, hidden),
+        "a2": dense(ks[1], hidden, hidden),
+        "pi": dense(ks[2], hidden, act_dim, scale=jnp.asarray(0.01, dtype)),
+        "c1": dense(ks[3], obs_dim * n_agents, hidden),
+        "c2": dense(ks[4], hidden, hidden),
+        "v": dense(ks[5], hidden, 1),
+    }
+
+
+def actor_logits(params, obs):
+    x = obs.astype(params["a1"]["w"].dtype)
+    x = jnp.tanh(x @ params["a1"]["w"] + params["a1"]["b"])
+    x = jnp.tanh(x @ params["a2"]["w"] + params["a2"]["b"])
+    return (x @ params["pi"]["w"] + params["pi"]["b"]).astype(jnp.float32)
+
+
+def central_value(params, obs):
+    """obs [..., A, O] -> V of the joint state [...]."""
+    joint = obs.reshape(*obs.shape[:-2], -1)
+    x = joint.astype(params["c1"]["w"].dtype)
+    x = jnp.tanh(x @ params["c1"]["w"] + params["c1"]["b"])
+    x = jnp.tanh(x @ params["c2"]["w"] + params["c2"]["b"])
+    return (x @ params["v"]["w"] + params["v"]["b"])[..., 0].astype(
+        jnp.float32)
+
+
+def build_mappo_step(
+    env: MpeEnv,
+    mesh: Mesh,
+    n_envs: int,
+    n_steps: int = 64,
+    lr: float = 3e-4,
+    gamma: float = 0.95,
+    lam: float = 0.95,
+    clip: float = 0.2,
+    vf_coef: float = 0.5,
+    ent_coef: float = 0.01,
+    ppo_epochs: int = 4,
+    anneal_iters: int | None = None,
+    axis_name: str = "env",
+):
+    """Jitted data-parallel MAPPO iteration (same train_state contract as
+    ``build_ppo_step``). Intended for collaborative scenarios (the shared
+    team reward is the critic's target)."""
+    assert env.action_mode is ActionMode.DISCRETE
+    sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
+             if anneal_iters else lr)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(sched))
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0
+    n_local = n_envs // n_dev
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    pad_c = env.action_width - mw
+
+    def sample(params, obs, key):
+        logits = actor_logits(params, obs)                 # [A, K]
+        idx = jax.random.categorical(key, logits)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
+        onehot = jax.nn.one_hot(idx, mw, dtype=env.dtype)
+        acts = jnp.concatenate(
+            [onehot, jnp.zeros((a, pad_c), env.dtype)], axis=-1)
+        return acts, idx, logp
+
+    def rollout(params, key):
+        kr, ks = jax.random.split(key)
+        states, obs = jax.vmap(env.reset)(jax.random.split(kr, n_local))
+
+        def body(carry, k):
+            states, obs = carry
+            ka, kstep = jax.random.split(k)
+            acts, idx, logp = jax.vmap(
+                lambda o, kk: sample(params, o, kk))(
+                obs, jax.random.split(ka, n_local))
+            value = jax.vmap(lambda o: central_value(params, o))(obs)
+            states, obs2, rew, done, _ = jax.vmap(env.step)(
+                states, acts, jax.random.split(kstep, n_local))
+            # team reward: mean over agents (identical per agent in
+            # collaborative scenarios)
+            team_rew = rew.mean(axis=-1)
+            team_done = done.all(axis=-1)
+            out = (obs, idx, logp, value, team_rew, team_done)
+            return (states, obs2), out
+
+        (_, last_obs), traj = jax.lax.scan(
+            body, (states, obs), jax.random.split(ks, n_steps))
+        last_value = jax.vmap(lambda o: central_value(params, o))(last_obs)
+        return traj, last_value
+
+    def gae(values, rewards, dones, last_value):
+        def body(carry, x):
+            next_val, next_adv = carry
+            value, reward, done = x
+            nonterm = 1.0 - done.astype(jnp.float32)
+            delta = reward + gamma * next_val * nonterm - value
+            adv = delta + gamma * lam * nonterm * next_adv
+            return (value, adv), adv
+
+        (_, _), advs = jax.lax.scan(
+            body, (last_value, jnp.zeros_like(last_value)),
+            (values, rewards, dones), reverse=True)
+        return advs, advs + values
+
+    def loss_fn(params, batch):
+        obs, act, logp_old, value_old, adv, ret = batch
+        logits = actor_logits(params, obs)                 # [..., A, K]
+        value = central_value(params, obs)                 # [...]
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), act[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(logp - logp_old)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        adv_b = adv_n[..., None]                           # same adv per agent
+        pg = -jnp.minimum(
+            ratio * adv_b, jnp.clip(ratio, 1 - clip, 1 + clip) * adv_b
+        ).mean()
+        v_clip = value_old + jnp.clip(value - value_old, -10.0, 10.0)
+        vloss = jnp.maximum(jnp.square(value - ret),
+                            jnp.square(v_clip - ret)).mean()
+        ent = -jnp.sum(
+            jax.nn.softmax(logits) * jax.nn.log_softmax(logits),
+            axis=-1).mean()
+        return pg + vf_coef * vloss - ent_coef * ent, (pg, vloss, ent)
+
+    def local_update(state, key):
+        params, opt_state = state
+        kr, _ = jax.random.split(key)
+        (obs, act, logp, value, rew, done), last_value = rollout(params, kr)
+        adv, ret = gae(value, rew, done, last_value)
+        batch = (obs, act, logp, value, adv, ret)
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, *aux)
+
+        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
+            epoch, (params, opt_state), jnp.arange(ppo_epochs))
+        metrics = {
+            "loss": jax.lax.pmean(losses[-1], axis_name),
+            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
+            "v_loss": jax.lax.pmean(vls[-1], axis_name),
+            "entropy": jax.lax.pmean(ents[-1], axis_name),
+            "mean_reward": jax.lax.pmean(rew.mean(), axis_name),
+        }
+        return (params, opt_state), metrics
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+             out_specs=(P(), P()), check_vma=False)
+    def sharded(state, keys):
+        return local_update(state, keys[0])
+
+    @jax.jit
+    def mappo_step(state, key):
+        return sharded(state, jax.random.split(key, n_dev))
+
+    mappo_step.init_state = lambda params: (params, opt.init(params))
+    return mappo_step

@@ -157,3 +157,41 @@ def test_ppo_learns_simple():
         state, m = step(state, jax.random.fold_in(key, it))
     g1 = greedy_eval(state[0])
     assert g0 < -3.0 and g1 > -1.0, (g0, g1)  # measured: -4.6 -> ~-0.3
+
+
+def test_mappo_learns_spread():
+    """MAPPO (decentralized actors + centralized critic over the joint
+    observation) makes measurable progress on cooperative navigation —
+    the task family the reference was built for (independent PPO plateaus
+    here; the centralized critic is what cracks it)."""
+    from mpe_tpu.learner.ppo import (
+        actor_logits, build_mappo_step, init_mappo)
+
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    params = init_mappo(jax.random.PRNGKey(0), scn.obs_width, 5, 3,
+                        hidden=64)
+    step = build_mappo_step(env, mesh, n_envs=256, n_steps=32, lr=3e-4,
+                            ppo_epochs=2, anneal_iters=600)
+    state = step.init_state(params)
+
+    def greedy_eval(params, n_envs=64, n_steps=25):
+        def pol(obs, key):
+            logits = jax.vmap(lambda o: actor_logits(params, o),
+                              in_axes=-1, out_axes=-1)(obs)
+            onehot = jax.nn.one_hot(jnp.argmax(logits, axis=1), 5,
+                                    dtype=env.dtype, axis=1)
+            return jnp.concatenate(
+                [onehot, jnp.zeros((3, 2, n_envs), env.dtype)], axis=1)
+        r = build_rollout(env, n_envs, n_steps, policy=pol, env_axis=-1)
+        _, tot = r(jax.random.PRNGKey(123))
+        return float(tot) / (n_envs * n_steps * 3)
+
+    g0 = greedy_eval(state[0])
+    key = jax.random.PRNGKey(1)
+    for it in range(1, 601):
+        state, _ = step(state, jax.random.fold_in(key, it))
+    g1 = greedy_eval(state[0])
+    # measured: -8.6 -> -7.9 @500, -6.1 @3000; assert solid progress
+    assert g1 > g0 + 0.4, (g0, g1)
