@@ -203,3 +203,62 @@ def test_aec_api_pettingzoo_style():
     assert env.agents == []
     assert all(env.truncations.values())
     assert np.isfinite(list(env.rewards.values())).all()
+
+
+def test_continuous_mode_end_to_end():
+    """CONTINUOUS action mode through the stateful wrapper: Box spaces
+    for movement, Tuple(Box, Box) for movable+speaking agents
+    (environment.py:47-66), reference ragged format accepted."""
+    import numpy as np
+    from mpe_tpu import make_env
+    from mpe_tpu.core.actions import ActionMode
+    from mpe_tpu.envs import spaces
+
+    env = make_env("simple_reference", action_mode=ActionMode.CONTINUOUS,
+                   seed=0)
+    sp = env.action_space[0]
+    assert isinstance(sp, spaces.Tuple)
+    move_sp, comm_sp = sp.spaces
+    assert isinstance(move_sp, spaces.Box) and move_sp.shape == (2,)
+    assert isinstance(comm_sp, spaces.Box) and comm_sp.shape == (10,)
+
+    env.reset()
+    # reference format: concatenated [move(2), comm(10)] per agent
+    acts = [np.concatenate([np.array([0.5, -0.5]), np.zeros(10)])
+            for _ in range(2)]
+    obs_n, rew_n, done_n, _ = env.step(acts)
+    assert np.isfinite(rew_n).all()
+    assert obs_n[0].shape == (21,)
+
+    # continuous movement-only scenario -> plain Box
+    env2 = make_env("simple_tag", action_mode=ActionMode.CONTINUOUS, seed=0)
+    assert isinstance(env2.action_space[0], spaces.Box)
+    env2.reset()
+    obs_n, rew_n, _, _ = env2.step([np.array([1.0, 0.0])] * 4)
+    assert np.isfinite(rew_n).all()
+
+
+def test_discrete_index_mode_end_to_end():
+    """discrete_action_input=True equivalent: integer actions through the
+    wrapper, with the reference's own index convention
+    (environment.py:161-167: 1=-x, 2=+x, 3=-y, 4=+y)."""
+    import numpy as np
+    from mpe_tpu import make_env
+    from mpe_tpu.core.actions import ActionMode
+
+    env = make_env("simple", action_mode=ActionMode.DISCRETE_INDEX, seed=0)
+    assert env.discrete_action_input
+    env.reset()
+    x0 = float(np.asarray(env.state.pos[0, 0]))
+    for _ in range(3):
+        env.step([2])  # +x
+    assert float(np.asarray(env.state.pos[0, 0])) > x0
+
+    # comm index becomes one-hot (environment.py:185-187)
+    env2 = make_env("simple_reference",
+                    action_mode=ActionMode.DISCRETE_INDEX, seed=0)
+    env2.reset()
+    env2.step([[1, 4], [2, 7]])
+    comm = np.asarray(env2.state.comm)
+    assert comm[0, 4] == 1.0 and comm[0].sum() == 1.0
+    assert comm[1, 7] == 1.0
