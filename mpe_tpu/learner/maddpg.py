@@ -1,0 +1,285 @@
+"""MADDPG — the algorithm the reference was built for (Lowe et al. 2017,
+cited in the reference README), TPU-native and fully on device.
+
+Centralized training / decentralized execution with *per-agent* networks
+(unlike pg/ppo's parameter sharing, each agent has its own actor and a
+centralized critic over the joint observation+action — the paper's
+setup for mixed cooperative-competitive scenarios):
+
+  - actors μ_i(o_i) -> move logits; discrete actions via straight-through
+    Gumbel-softmax (the paper's treatment of discrete MPE actions);
+  - critics Q_i(o_1..A, a_1..A) -> scalar;
+  - on-device ring replay buffer (dynamic_update_slice insert, gather
+    sample) — no host round-trips in the training loop;
+  - soft target networks (polyak averaging);
+  - transitions that cross an auto-reset boundary carry weight 0 so TD
+    targets never bootstrap across episodes.
+
+Per-agent heterogeneity is expressed by stacking each agent's parameters
+on a leading axis and ``vmap``-ing — one compiled program regardless of
+how different the agents' roles are.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mpe_tpu.core.actions import ActionMode
+from mpe_tpu.envs.functional import MpeEnv
+
+
+def _dense(k, i, o, dtype=jnp.float32, scale=None):
+    s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
+    return {"w": jax.random.normal(k, (i, o), dtype) * s,
+            "b": jnp.zeros((o,), dtype)}
+
+
+def _mlp(params, x, out_key):
+    x = jnp.tanh(x @ params["l1"]["w"] + params["l1"]["b"])
+    x = jnp.tanh(x @ params["l2"]["w"] + params["l2"]["b"])
+    return x @ params[out_key]["w"] + params[out_key]["b"]
+
+
+def init_maddpg(key, obs_dim: int, act_dim: int, n_agents: int,
+                hidden: int = 64):
+    """Stacked per-agent actors and critics: every leaf has a leading
+    [A] axis (vmapped per-agent networks)."""
+    def one_agent(k):
+        ka1, ka2, ka3, kc1, kc2, kc3 = jax.random.split(k, 6)
+        return {
+            "actor": {
+                "l1": _dense(ka1, obs_dim, hidden),
+                "l2": _dense(ka2, hidden, hidden),
+                "out": _dense(ka3, hidden, act_dim,
+                              scale=jnp.asarray(0.01, jnp.float32)),
+            },
+            "critic": {
+                "l1": _dense(kc1, n_agents * (obs_dim + act_dim), hidden),
+                "l2": _dense(kc2, hidden, hidden),
+                "out": _dense(kc3, hidden, 1),
+            },
+        }
+
+    per_agent = [one_agent(k) for k in jax.random.split(key, n_agents)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_agent)
+
+
+def actor_logits_i(actor_params, obs):
+    """One agent's actor: obs [..., O] -> logits [..., K]."""
+    return _mlp(actor_params, obs, "out").astype(jnp.float32)
+
+
+def critic_q_i(critic_params, joint):
+    """One agent's critic: joint [..., A*(O+K)] -> Q [...]."""
+    return _mlp(critic_params, joint, "out")[..., 0].astype(jnp.float32)
+
+
+def gumbel_softmax_st(logits, key, tau: float = 1.0):
+    """Straight-through Gumbel-softmax: one-hot forward, soft gradients."""
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(key, logits.shape, minval=1e-10, maxval=1.0)))
+    soft = jax.nn.softmax((logits + g) / tau)
+    hard = jax.nn.one_hot(jnp.argmax(soft, axis=-1), logits.shape[-1],
+                          dtype=soft.dtype)
+    return hard + soft - jax.lax.stop_gradient(soft)
+
+
+class Buffer(NamedTuple):
+    obs: jax.Array    # [cap, A, O]
+    act: jax.Array    # [cap, A, K]
+    rew: jax.Array    # [cap, A]
+    obs2: jax.Array   # [cap, A, O]
+    valid: jax.Array  # [cap] 0.0 on auto-reset boundary transitions
+    ptr: jax.Array    # [] int32
+    size: jax.Array   # [] int32
+
+
+def init_buffer(capacity: int, n_agents: int, obs_dim: int, act_dim: int):
+    return Buffer(
+        obs=jnp.zeros((capacity, n_agents, obs_dim), jnp.float32),
+        act=jnp.zeros((capacity, n_agents, act_dim), jnp.float32),
+        rew=jnp.zeros((capacity, n_agents), jnp.float32),
+        obs2=jnp.zeros((capacity, n_agents, obs_dim), jnp.float32),
+        valid=jnp.zeros((capacity,), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_maddpg(
+    env: MpeEnv,
+    n_envs: int = 32,
+    capacity: int = 50_000,
+    batch: int = 256,
+    gamma: float = 0.95,
+    tau_polyak: float = 0.05,
+    gumbel_tau: float = 1.0,
+    eps_greedy: float = 0.1,
+    actor_lr: float = 1e-3,
+    critic_lr: float = 1e-3,
+):
+    """-> (reset_fn, collect_fn, update_fn), all jitted.
+
+    reset_fn(key) -> (env_states, obs)
+    collect_fn(params, env_states, obs, buffer, key)
+        -> (env_states, obs, buffer, mean_reward)
+    update_fn(params, targets, opt_states, buffer, key, do_actor)
+        -> (params, targets, opt_states, metrics)
+
+    ``do_actor`` (traced bool) gates the actor/target-actor update so the
+    training loop can warm the critic up first and delay actor updates —
+    the usual DDPG-family stabilizers.
+
+    Requires ``env`` built with ``max_steps`` + ``auto_reset=True`` so
+    collection runs continuously.
+    """
+    assert env.action_mode is ActionMode.DISCRETE and env.auto_reset
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    pad_c = env.action_width - mw
+    obs_dim = env.scenario.obs_width
+    assert capacity % n_envs == 0
+    actor_opt = optax.adam(actor_lr)
+    critic_opt = optax.adam(critic_lr)
+
+    def init_opt(params):
+        return {"actor": actor_opt.init(params["actor"]),
+                "critic": critic_opt.init(params["critic"])}
+
+    def act(params, obs, key, explore=True):
+        """obs [A, O] -> one-hot moves [A, mw] (per-agent actors)."""
+        logits = jax.vmap(actor_logits_i)(params["actor"], obs)
+        if not explore:
+            return jax.nn.one_hot(jnp.argmax(logits, -1), mw,
+                                  dtype=jnp.float32)
+        kg, ke, ku = jax.random.split(key, 3)
+        sampled = gumbel_softmax_st(logits, kg, gumbel_tau)
+        # epsilon-greedy uniform mix keeps coverage while the actor is
+        # still chasing an immature critic
+        rand = jax.nn.one_hot(
+            jax.random.randint(ku, (a,), 0, mw), mw, dtype=jnp.float32)
+        take_rand = (jax.random.uniform(ke, (a, 1)) < eps_greedy)
+        return jnp.where(take_rand, rand, sampled)
+
+    @jax.jit
+    def reset_fn(key):
+        return jax.vmap(env.reset)(jax.random.split(key, n_envs))
+
+    @jax.jit
+    def collect_fn(params, env_states, obs, buffer: Buffer, key):
+        ka, kstep = jax.random.split(key)
+        moves = jax.vmap(lambda o, k: act(params, o, k))(
+            obs, jax.random.split(ka, n_envs))
+        acts = jnp.concatenate(
+            [moves, jnp.zeros((n_envs, a, pad_c), env.dtype)], axis=-1)
+        env_states2, obs2, rew, done, _ = jax.vmap(env.step)(
+            env_states, acts, jax.random.split(kstep, n_envs))
+        # auto-reset happened where done: obs2 belongs to a new episode
+        valid = 1.0 - done.all(axis=-1).astype(jnp.float32)   # [n_envs]
+        idx = buffer.ptr
+        f32 = jnp.float32  # buffer is f32 regardless of env dtype (x64 tests)
+        buffer = buffer._replace(
+            obs=jax.lax.dynamic_update_slice_in_dim(
+                buffer.obs, obs.astype(f32), idx, 0),
+            act=jax.lax.dynamic_update_slice_in_dim(
+                buffer.act, moves.astype(f32), idx, 0),
+            rew=jax.lax.dynamic_update_slice_in_dim(
+                buffer.rew, rew.astype(f32), idx, 0),
+            obs2=jax.lax.dynamic_update_slice_in_dim(
+                buffer.obs2, obs2.astype(f32), idx, 0),
+            valid=jax.lax.dynamic_update_slice_in_dim(
+                buffer.valid, valid, idx, 0),
+            ptr=(idx + n_envs) % capacity,
+            size=jnp.minimum(buffer.size + n_envs, capacity),
+        )
+        return env_states2, obs2, buffer, rew.mean()
+
+    def _joint(obs_b, act_b):
+        """[B, A, O], [B, A, K] -> [B, A*(O+K)]."""
+        return jnp.concatenate(
+            [obs_b.reshape(obs_b.shape[0], -1),
+             act_b.reshape(act_b.shape[0], -1)], axis=-1)
+
+    @jax.jit
+    def update_fn(params, targets, opt_states, buffer: Buffer, key,
+                  do_actor=True):
+        ks, kg = jax.random.split(key)
+        idx = jax.random.randint(ks, (batch,), 0, buffer.size)
+        obs_b = buffer.obs[idx]
+        act_b = buffer.act[idx]
+        rew_b = buffer.rew[idx]
+        obs2_b = buffer.obs2[idx]
+        valid_b = buffer.valid[idx]
+
+        # target actions from target actors (deterministic argmax one-hot)
+        tgt_logits = jax.vmap(
+            lambda o: jax.vmap(actor_logits_i)(targets["actor"], o))(obs2_b)
+        act2 = jax.nn.one_hot(jnp.argmax(tgt_logits, -1), mw,
+                              dtype=jnp.float32)
+        joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
+        q_next = jax.vmap(
+            lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
+        y = rew_b.T + gamma * valid_b[None] * q_next          # [A, B]
+        y = jax.lax.stop_gradient(y)
+
+        def critic_loss(critic_params):
+            joint = _joint(obs_b, act_b)
+            q = jax.vmap(lambda cp: critic_q_i(cp, joint))(critic_params)
+            return jnp.mean(jnp.square(q - y)), jnp.mean(q)
+
+        (closs, qmean), cgrads = jax.value_and_grad(
+            critic_loss, has_aux=True)(params["critic"])
+        cupd, copt = critic_opt.update(
+            cgrads, opt_states["critic"], params["critic"])
+        new_critic = optax.apply_updates(params["critic"], cupd)
+
+        def actor_loss(actor_params):
+            # each agent maximizes the EXACT expectation of its critic
+            # over its own (small, discrete) action set under its softmax
+            # policy, with the other agents' buffer actions fixed — a
+            # deterministic gradient (no Gumbel straight-through noise),
+            # plus a small entropy bonus against premature collapse
+            logits = jax.vmap(
+                lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
+            probs = jax.nn.softmax(logits)                  # [B, A, K]
+            total = 0.0
+            for i in range(a):
+                cp = jax.tree.map(lambda x: x[i], params["critic"])
+                qk = []
+                for k in range(mw):
+                    onek = jnp.zeros((batch, mw)).at[:, k].set(1.0)
+                    mixed = act_b.at[:, i].set(onek)
+                    qk.append(critic_q_i(cp, _joint(obs_b, mixed)))
+                q_all = jnp.stack(qk, axis=-1)              # [B, K]
+                exp_q = jnp.sum(probs[:, i] * jax.lax.stop_gradient(q_all),
+                                axis=-1)
+                ent = -jnp.sum(probs[:, i] * jnp.log(probs[:, i] + 1e-10),
+                               axis=-1)
+                total = total - (exp_q + 0.01 * ent).mean()
+            return total / a
+
+        aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+        aupd, aopt = actor_opt.update(
+            agrads, opt_states["actor"], params["actor"])
+        new_actor = optax.apply_updates(params["actor"], aupd)
+        # gate the actor update (critic warmup / actor delay)
+        gate = jnp.asarray(do_actor)
+        new_actor = jax.tree.map(
+            lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
+        aopt = jax.tree.map(
+            lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
+            aopt, opt_states["actor"])
+
+        params = {"actor": new_actor, "critic": new_critic}
+        targets = jax.tree.map(
+            lambda t, p: (1 - tau_polyak) * t + tau_polyak * p,
+            targets, params)
+        opt_states = {"actor": aopt, "critic": copt}
+        metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
+        return params, targets, opt_states, metrics
+
+    return reset_fn, collect_fn, update_fn, init_opt

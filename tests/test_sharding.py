@@ -195,3 +195,50 @@ def test_mappo_learns_spread():
     g1 = greedy_eval(state[0])
     # measured: -8.6 -> -7.9 @500, -6.1 @3000; assert solid progress
     assert g1 > g0 + 0.4, (g0, g1)
+
+
+def test_maddpg_learns_simple():
+    """MADDPG (per-agent actors + centralized critics, on-device replay,
+    expected-Q actor objective) reaches near-optimal greedy behavior on
+    `simple` — the best result of the three learners on this task."""
+    from mpe_tpu.learner.maddpg import (
+        actor_logits_i, build_maddpg, init_buffer, init_maddpg)
+
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn, max_steps=25, auto_reset=True)
+    params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, 5, 1,
+                         hidden=64)
+    targets = jax.tree.map(lambda x: x, params)
+    reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
+        env, n_envs=32, capacity=51200, batch=512, gamma=0.95,
+        actor_lr=3e-4, critic_lr=1e-3)
+    opt_states = init_opt(params)
+    buffer = init_buffer(51200, 1, scn.obs_width, 5)
+    key = jax.random.PRNGKey(1)
+    states, obs = reset_fn(key)
+
+    def greedy_eval(params, n_envs=64, n_steps=25):
+        ev = MpeEnv(scn)
+
+        def pol(obs, k):
+            logits = jax.vmap(
+                lambda o: jax.vmap(actor_logits_i)(params["actor"], o),
+                in_axes=-1, out_axes=-1)(obs)
+            return jax.nn.one_hot(jnp.argmax(logits, axis=1), 5,
+                                  dtype=ev.dtype, axis=1)
+        r = build_rollout(ev, n_envs, n_steps, policy=pol, env_axis=-1)
+        _, tot = r(jax.random.PRNGKey(123))
+        return float(tot) / (n_envs * n_steps)
+
+    for i in range(200):
+        states, obs, buffer, _ = collect_fn(
+            params, states, obs, buffer, jax.random.fold_in(key, i))
+    for i in range(2500):
+        states, obs, buffer, _ = collect_fn(
+            params, states, obs, buffer, jax.random.fold_in(key, 10_000 + i))
+        params, targets, opt_states, _ = update_fn(
+            params, targets, opt_states, buffer,
+            jax.random.fold_in(key, 90_000 + i),
+            (i >= 1000) and (i % 2 == 0))
+    g = greedy_eval(params)
+    assert g > -0.6, g  # measured: -0.22 (noop baseline -1.05, random -2)
