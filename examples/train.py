@@ -19,7 +19,7 @@ def main():
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--algo", default="reinforce",
-                    choices=["reinforce", "ppo", "mappo"])
+                    choices=["reinforce", "ppo", "mappo", "maddpg"])
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -37,6 +37,36 @@ def main():
     mesh = env_mesh()
     n_envs = args.n_envs - args.n_envs % mesh.devices.size
     key = jax.random.PRNGKey(1)
+    if args.algo == "maddpg":
+        import jax.numpy as jnp
+        from mpe_tpu.envs import MpeEnv as _MpeEnv
+        from mpe_tpu.learner import build_maddpg, init_buffer, init_maddpg
+
+        env = _MpeEnv(scn, max_steps=25, auto_reset=True)
+        mw = 2 * env.spec.dim_p + 1
+        params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, mw,
+                             env.n_agents)
+        targets = jax.tree.map(lambda x: x, params)
+        reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
+            env, n_envs=32, capacity=51200, batch=512)
+        opt_states = init_opt(params)
+        buffer = init_buffer(51200, env.n_agents, scn.obs_width, mw)
+        states, obs = reset_fn(key)
+        for i in range(200):   # buffer warmup
+            states, obs, buffer, _ = collect_fn(
+                params, states, obs, buffer, jax.random.fold_in(key, i))
+        for it in range(args.iters):
+            states, obs, buffer, mr = collect_fn(
+                params, states, obs, buffer,
+                jax.random.fold_in(key, 10_000 + it))
+            params, targets, opt_states, m = update_fn(
+                params, targets, opt_states, buffer,
+                jax.random.fold_in(key, 90_000 + it),
+                (it >= 1000) and (it % 2 == 0))
+            if it % 500 == 0 or it == args.iters - 1:
+                print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
+                      f"q {float(m['q']):+.2f}")
+        return
     if args.algo in ("ppo", "mappo"):
         if args.algo == "mappo":
             from mpe_tpu.learner import build_mappo_step, init_mappo
