@@ -251,7 +251,7 @@ def build_maddpg(
                 cp = jax.tree.map(lambda x: x[i], params["critic"])
                 qk = []
                 for k in range(mw):
-                    onek = jnp.zeros((batch, mw)).at[:, k].set(1.0)
+                    onek = jnp.zeros((batch, mw), act_b.dtype).at[:, k].set(1.0)
                     mixed = act_b.at[:, i].set(onek)
                     qk.append(critic_q_i(cp, _joint(obs_b, mixed)))
                 q_all = jnp.stack(qk, axis=-1)              # [B, K]
