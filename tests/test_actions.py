@@ -107,3 +107,66 @@ def test_space_construction_matches_reference_shapes():
     assert isinstance(s, spaces.Discrete) and s.n == 5
     obs_space = env.observation_spaces()
     assert obs_space[0].shape == (4,)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_decode_fuzz_random_configs(seed):
+    """Decode parity vs the reference oracle across random agent configs
+    (movable/silent mixes, heterogeneous accels, random dim_c) in every
+    mode — covers the spec space beyond the 9 fixed scenarios."""
+    from mpe_tpu.core.state import make_spec
+
+    rng = np.random.default_rng(seed)
+    a = int(rng.integers(1, 5))
+    dim_c = int(rng.integers(0, 6))
+    movable = [bool(rng.random() < 0.8) for _ in range(a)]
+    silent = [dim_c == 0 or bool(rng.random() < 0.5) for _ in range(a)]
+    for i in range(a):
+        if not movable[i] and silent[i]:
+            movable[i] = True   # every agent needs >= 1 action segment
+    accel = [float(rng.uniform(1, 6)) if rng.random() < 0.7 else None
+             for _ in range(a)]
+    spec = make_spec(f"fz{seed}", n_agents=a, n_landmarks=1,
+                     agent_movable=movable, agent_silent=silent,
+                     agent_accel=accel, dim_c=dim_c)
+
+    # reference-side world with matching agent attrs
+    O._ensure_ref_package()
+    import multiagent.core as core
+
+    world = core.World()
+    world.dim_c = dim_c
+    world.agents = []
+    for i in range(a):
+        ag = core.Agent()
+        ag.movable = movable[i]
+        ag.silent = bool(spec.silent[i])
+        ag.accel = accel[i]
+        world.agents.append(ag)
+    world.landmarks = []
+
+    class _Scn:
+        pass
+
+    scn = _Scn()
+    scn.spec = spec
+    scn.obs_dims = tuple([4] * a)
+    env = MpeEnv(scn)
+    canonical = jnp.asarray(
+        rng.uniform(0, 1, (a, env.action_width)), jnp.float64)
+    u, c = decode_actions(spec, canonical, ActionMode.DISCRETE, jnp.float64)
+    for i, agent in enumerate(world.agents):
+        segs = []
+        if movable[i]:
+            segs.append(np.asarray(canonical[i, :5]))
+        if not spec.silent[i]:
+            segs.append(np.asarray(canonical[i, 5:5 + dim_c]))
+        flat = np.concatenate(segs)
+        sizes = None
+        if movable[i] and not spec.silent[i]:
+            sizes = [5, dim_c]
+        ur, cr = O.oracle_set_action(flat, agent, world, sub_sizes=sizes)
+        np.testing.assert_allclose(np.asarray(u[i]), ur, atol=1e-12,
+                                   err_msg=f"agent {i} u")
+        np.testing.assert_allclose(np.asarray(c[i]), cr, atol=1e-12,
+                                   err_msg=f"agent {i} c")

@@ -115,3 +115,37 @@ def test_record_gif(tmp_path):
     from PIL import Image
     im = Image.open(path)
     assert im.n_frames == 4
+
+
+def test_raster_geometry_coverage():
+    """Line/PolyLine/capsule/Image/SimpleImageViewer paths of the raster
+    layer (reference rendering.py:243-345 surface)."""
+    from mpe_tpu.render import (
+        Image, Line, SimpleImageViewer, Transform, Viewer, make_capsule,
+        make_polyline)
+
+    v = Viewer(64, 64)
+    v.add_geom(Line((-0.5, 0.0), (0.5, 0.0)).add_attr(Transform()))
+    pl = make_polyline([(-0.5, -0.5), (0.0, 0.5), (0.5, -0.5)])
+    pl.set_linewidth(2.0)
+    v.add_geom(pl)
+    cap = make_capsule(0.4, 0.1)
+    cap.set_color(0.2, 0.2, 0.9)
+    v.add_geom(cap)
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255
+    v.add_geom(Image(img, 0.4, 0.4).add_attr(
+        Transform(translation=(-0.6, -0.6))))
+    frame = v.render(return_rgb_array=True)
+    assert frame.shape == (64, 64, 3)
+    assert (frame < 250).any()          # something was drawn
+
+    siv = SimpleImageViewer()
+    siv.imshow(frame)
+    assert siv.isopen and siv.last_frame.shape == (64, 64, 3)
+    siv.close()
+
+    # one-shot draw helpers clear after render (rendering.py:114-135)
+    v.draw_circle(0.2, color=(1.0, 0.0, 0.0))
+    v.render()
+    assert v.onetime_geoms == []
