@@ -262,3 +262,28 @@ def test_discrete_index_mode_end_to_end():
     comm = np.asarray(env2.state.comm)
     assert comm[0, 4] == 1.0 and comm[0].sum() == 1.0
     assert comm[1, 7] == 1.0
+
+
+def test_spaces_sample_and_contains():
+    import jax
+    import numpy as np
+    from mpe_tpu.envs import spaces
+
+    key = jax.random.PRNGKey(0)
+    d = spaces.Discrete(5)
+    s = d.sample(key)
+    assert d.contains(s) and not d.contains(7)
+
+    b = spaces.Box(-1.0, 1.0, (3,))
+    x = b.sample(key)
+    assert b.contains(np.asarray(x)) and not b.contains(np.full(3, 2.0))
+
+    md = spaces.MultiDiscrete.of([(0, 4), (0, 9)])
+    v = np.asarray(md.sample(key))
+    assert v.shape == (2,) and md.contains(v)
+    assert not md.contains(np.array([5, 0]))
+    assert md.sizes == (5, 10)
+
+    t = spaces.Tuple((d, b))
+    sv = t.sample(key)
+    assert t.contains(sv)
