@@ -287,3 +287,41 @@ def test_spaces_sample_and_contains():
     t = spaces.Tuple((d, b))
     sv = t.sample(key)
     assert t.contains(sv)
+
+
+def test_noise_config_requires_key():
+    """Envs with noise (or auto-reset) assert on a missing per-step key
+    instead of silently skipping randomness."""
+    import jax.numpy as jnp
+    from mpe_tpu.core.state import make_spec
+    from mpe_tpu.scenarios import _base as B
+    from mpe_tpu.envs.functional import MpeEnv
+
+    class Noisy(B.Scenario):
+        def __init__(self):
+            self.spec = make_spec("noisy", n_agents=1, n_landmarks=1,
+                                  agent_u_noise=0.5, dim_c=0)
+            self.obs_dims = (4,)
+
+        def reset(self, key, dtype=jnp.float32):
+            return B.uniform_reset(self.spec, key, dtype)
+
+        def reward(self, state):
+            return jnp.zeros((1,), state.dtype)
+
+        def observation(self, state):
+            rel = B.landmark_rel(self.spec, state).reshape(1, -1)
+            return jnp.concatenate([state.vel[:1], rel], axis=-1)
+
+    env = MpeEnv(Noisy())
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    acts = jnp.zeros((1, 5))
+    try:
+        env.step(state, acts)   # no key
+        assert False
+    except AssertionError as e:
+        assert "key" in str(e)
+    # with a key: noise actually perturbs the trajectory
+    s1, *_ = env.step(state, acts, jax.random.PRNGKey(1))
+    s2, *_ = env.step(state, acts, jax.random.PRNGKey(2))
+    assert (np.asarray(s1.pos[0]) != np.asarray(s2.pos[0])).any()

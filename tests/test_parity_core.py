@@ -56,3 +56,12 @@ def test_simple_spread_parity_long_colliding():
         if np.linalg.norm(d[0] - d[1]) < 0.3:
             saw_collision = True
     assert saw_collision
+
+
+def test_simple_spread_parity_long_horizon():
+    """200-step golden parity for the benchmark scenario — long-run
+    trajectory agreement (collisions compound any divergence fast)."""
+    from tests._parity import run_parity
+
+    run_parity("simple_spread", scenarios.load("simple_spread"),
+               n_steps=200, seed=5, u_scale=1.5)
