@@ -40,7 +40,7 @@ class SimpleAdversaryScenario(B.Scenario):
         return B.uniform_reset(self.spec, key, dtype, n_goal_choices=(2,))
 
     def _goal_dists(self, state):
-        goal_pos = B.landmark_pos(self.spec, state)[state.goal[0]]
+        goal_pos = B.take_row(B.landmark_pos(self.spec, state), state.goal[0])
         return jnp.sqrt(
             jnp.sum(jnp.square(state.pos[:3] - goal_pos), axis=-1)
         )  # [A]
@@ -54,7 +54,7 @@ class SimpleAdversaryScenario(B.Scenario):
     def observation(self, state):
         spec = self.spec
         a = spec.n_agents
-        goal_pos = B.landmark_pos(spec, state)[state.goal[0]]
+        goal_pos = B.take_row(B.landmark_pos(spec, state), state.goal[0])
         goal_rel = goal_pos[None] - state.pos[:a]        # [A, 2]
         lrel = B.landmark_rel(spec, state).reshape(a, -1)
         orel = B.other_rel(spec, state).reshape(a, -1)

@@ -42,7 +42,7 @@ class SimplePushScenario(B.Scenario):
         return B.uniform_reset(self.spec, key, dtype, n_goal_choices=(2,))
 
     def _goal_dists(self, state):
-        goal_pos = B.landmark_pos(self.spec, state)[state.goal[0]]
+        goal_pos = B.take_row(B.landmark_pos(self.spec, state), state.goal[0])
         return jnp.sqrt(jnp.sum(jnp.square(state.pos[:2] - goal_pos), axis=-1))
 
     def reward(self, state):
@@ -52,7 +52,7 @@ class SimplePushScenario(B.Scenario):
     def observation(self, state):
         spec = self.spec
         dtype = state.dtype
-        goal_pos = B.landmark_pos(spec, state)[state.goal[0]]
+        goal_pos = B.take_row(B.landmark_pos(spec, state), state.goal[0])
         lrel = B.landmark_rel(spec, state).reshape(2, -1)
         orel = B.other_rel(spec, state).reshape(2, -1)
         # good agent's own color: [0.25]*3 with channel goal+1 += 0.5

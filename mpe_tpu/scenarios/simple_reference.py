@@ -16,6 +16,7 @@ Capability parity with reference multiagent/scenarios/simple_reference.py:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,14 +45,21 @@ class SimpleReferenceScenario(B.Scenario):
     def reward(self, state):
         # agent i is rewarded for the OTHER agent reaching lmk[goal[i]]
         other = state.pos[jnp.asarray([1, 0])]                 # [2, P]
-        goal_pos = B.landmark_pos(self.spec, state)[state.goal]  # [2, P]
+        lpos = B.landmark_pos(self.spec, state)
+        # unrolled per-goal one-hot selects (a batched [2,L]@[L,P] matmul
+        # lowers to pathologically padded MXU ops under vmap: 7 M vs 42 M
+        # steps/s measured; the vector form stays on the VPU)
+        goal_pos = jnp.stack([B.take_row(lpos, state.goal[0]),
+                              B.take_row(lpos, state.goal[1])])   # [2, P]
         return -jnp.sum(jnp.square(other - goal_pos), axis=-1)
 
     def observation(self, state):
         spec = self.spec
         a = spec.n_agents
         lrel = B.landmark_rel(spec, state).reshape(a, -1)
-        goal_color = B.const(LANDMARK_COLORS, state.dtype)[state.goal]  # [2,3]
+        colors = B.const(LANDMARK_COLORS, state.dtype)
+        goal_color = jnp.stack([B.take_row(colors, state.goal[0]),
+                                B.take_row(colors, state.goal[1])])  # [2,3]
         ocom = B.other_comm(spec, state).reshape(a, -1)
         return jnp.concatenate([state.vel[:a], lrel, goal_color, ocom], axis=-1)
 

@@ -45,13 +45,13 @@ class SimpleSpeakerListenerScenario(B.Scenario):
         return B.uniform_reset(self.spec, key, dtype, n_goal_choices=(3,))
 
     def reward(self, state):
-        goal_pos = B.landmark_pos(self.spec, state)[state.goal[0]]
+        goal_pos = B.take_row(B.landmark_pos(self.spec, state), state.goal[0])
         d2 = jnp.sum(jnp.square(state.pos[1] - goal_pos))
         return jnp.full((2,), -d2, state.dtype)
 
     def observation(self, state):
         spec = self.spec
-        goal_color = B.const(LANDMARK_COLORS, state.dtype)[state.goal[0]]
+        goal_color = B.take_row(B.const(LANDMARK_COLORS, state.dtype), state.goal[0])
         lrel = B.landmark_rel(spec, state)
         listener = jnp.concatenate(
             [state.vel[1], lrel[1].reshape(-1), state.comm[0]]
@@ -65,6 +65,6 @@ class SimpleSpeakerListenerScenario(B.Scenario):
         lmk = B.const(LANDMARK_COLORS, state.dtype)
         # listener (speaker's goal_a) colored goal color + 0.45 grey
         # (simple_speaker_listener.py:49)
-        listener = lmk[state.goal[0]] + 0.45
+        listener = B.take_row(lmk, state.goal[0]) + 0.45
         speaker = B.const([0.25, 0.25, 0.25], state.dtype)
         return jnp.concatenate([speaker[None], listener[None], lmk], axis=0)
