@@ -336,13 +336,16 @@ def _generic_rollout_kernel(
         obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
                                     keepdims=True)
         t = t + 1
-        done = t >= horizon
-        pos = jnp.where(done[None], sample_state(step, 3, n), pos)
-        vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
-        t2 = jnp.where(done, 0, t)
-        out = [pos, vel, t2, rew_acc, obs_acc]
+        if horizon is not None:  # horizon=None: never reset (reference
+            done = t >= horizon  # has no termination, env.py:132-135)
+            pos = jnp.where(done[None], sample_state(step, 3, n), pos)
+            vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
+            t = jnp.where(done, 0, t)
+        out = [pos, vel, t, rew_acc, obs_acc]
         if n_goals:
-            out.append(jnp.where(done, sample_goal(step, 24, n), goal))
+            if horizon is not None:
+                goal = jnp.where(done, sample_goal(step, 24, n), goal)
+            out.append(goal)
         return tuple(out)
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
@@ -366,7 +369,7 @@ def fused_rollout(
     scenario,
     n_envs: int,
     n_steps: int,
-    horizon: int = 100,
+    horizon: int | None = 100,
     block_envs: int = 1024,
     interpret: bool = False,
 ):
