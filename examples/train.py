@@ -44,17 +44,24 @@ def main():
 
         env = _MpeEnv(scn, max_steps=25, auto_reset=True)
         mw = 2 * env.spec.dim_p + 1
+        maddpg_envs = max(8, n_envs)
+        capacity = maddpg_envs * 1600
         params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, mw,
                              env.n_agents)
         targets = jax.tree.map(lambda x: x, params)
         reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
-            env, n_envs=32, capacity=51200, batch=512)
+            env, n_envs=maddpg_envs, capacity=capacity, batch=512,
+            # scaled off --lr so flags take effect; defaults land on the
+            # tested 3e-4 / 1e-3 configuration
+            actor_lr=args.lr / 10, critic_lr=args.lr / 3)
         opt_states = init_opt(params)
-        buffer = init_buffer(51200, env.n_agents, scn.obs_width, mw)
+        buffer = init_buffer(capacity, env.n_agents, scn.obs_width, mw)
         states, obs = reset_fn(key)
         for i in range(200):   # buffer warmup
             states, obs, buffer, _ = collect_fn(
                 params, states, obs, buffer, jax.random.fold_in(key, i))
+        # critic-only warmup scales with the run length
+        actor_start = min(1000, max(1, args.iters // 3))
         for it in range(args.iters):
             states, obs, buffer, mr = collect_fn(
                 params, states, obs, buffer,
@@ -62,7 +69,7 @@ def main():
             params, targets, opt_states, m = update_fn(
                 params, targets, opt_states, buffer,
                 jax.random.fold_in(key, 90_000 + it),
-                (it >= 1000) and (it % 2 == 0))
+                (it >= actor_start) and (it % 2 == 0))
             if it % 500 == 0 or it == args.iters - 1:
                 print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
                       f"q {float(m['q']):+.2f}")

@@ -12,8 +12,10 @@ setup for mixed cooperative-competitive scenarios):
   - on-device ring replay buffer (dynamic_update_slice insert, gather
     sample) — no host round-trips in the training loop;
   - soft target networks (polyak averaging);
-  - transitions that cross an auto-reset boundary carry weight 0 so TD
-    targets never bootstrap across episodes.
+  - MPE episodes end only by time limit (the reference has no
+    termination), so TD targets bootstrap THROUGH the horizon using the
+    true pre-reset next observation (stored before auto-reset replaces
+    it) — truncation handled the standard way, not as a terminal.
 
 Per-agent heterogeneity is expressed by stacking each agent's parameters
 on a leading axis and ``vmap``-ing — one compiled program regardless of
@@ -32,10 +34,7 @@ from mpe_tpu.core.actions import ActionMode
 from mpe_tpu.envs.functional import MpeEnv
 
 
-def _dense(k, i, o, dtype=jnp.float32, scale=None):
-    s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
-    return {"w": jax.random.normal(k, (i, o), dtype) * s,
-            "b": jnp.zeros((o,), dtype)}
+from mpe_tpu.learner._nets import dense_init as _dense
 
 
 def _mlp(params, x, out_key):
@@ -92,8 +91,7 @@ class Buffer(NamedTuple):
     obs: jax.Array    # [cap, A, O]
     act: jax.Array    # [cap, A, K]
     rew: jax.Array    # [cap, A]
-    obs2: jax.Array   # [cap, A, O]
-    valid: jax.Array  # [cap] 0.0 on auto-reset boundary transitions
+    obs2: jax.Array   # [cap, A, O] true next obs (pre-auto-reset)
     ptr: jax.Array    # [] int32
     size: jax.Array   # [] int32
 
@@ -104,7 +102,6 @@ def init_buffer(capacity: int, n_agents: int, obs_dim: int, act_dim: int):
         act=jnp.zeros((capacity, n_agents, act_dim), jnp.float32),
         rew=jnp.zeros((capacity, n_agents), jnp.float32),
         obs2=jnp.zeros((capacity, n_agents, obs_dim), jnp.float32),
-        valid=jnp.zeros((capacity,), jnp.float32),
         ptr=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
     )
@@ -138,6 +135,11 @@ def build_maddpg(
     collection runs continuously.
     """
     assert env.action_mode is ActionMode.DISCRETE and env.auto_reset
+    # plain twin of the env (horizon done flags, no auto-reset) so
+    # collect_fn controls resets and keeps the true next obs
+    env_plain = MpeEnv(env.scenario, action_mode=env.action_mode,
+                       max_steps=env.max_steps, auto_reset=False,
+                       dtype=env.dtype)
     a = env.n_agents
     mw = 2 * env.spec.dim_p + 1
     pad_c = env.action_width - mw
@@ -150,12 +152,9 @@ def build_maddpg(
         return {"actor": actor_opt.init(params["actor"]),
                 "critic": critic_opt.init(params["critic"])}
 
-    def act(params, obs, key, explore=True):
-        """obs [A, O] -> one-hot moves [A, mw] (per-agent actors)."""
+    def act(params, obs, key):
+        """obs [A, O] -> exploratory one-hot moves [A, mw]."""
         logits = jax.vmap(actor_logits_i)(params["actor"], obs)
-        if not explore:
-            return jax.nn.one_hot(jnp.argmax(logits, -1), mw,
-                                  dtype=jnp.float32)
         kg, ke, ku = jax.random.split(key, 3)
         sampled = gumbel_softmax_st(logits, kg, gumbel_tau)
         # epsilon-greedy uniform mix keeps coverage while the actor is
@@ -176,10 +175,11 @@ def build_maddpg(
             obs, jax.random.split(ka, n_envs))
         acts = jnp.concatenate(
             [moves, jnp.zeros((n_envs, a, pad_c), env.dtype)], axis=-1)
-        env_states2, obs2, rew, done, _ = jax.vmap(env.step)(
+        # step WITHOUT the env's auto-reset so the stored next obs is
+        # the true s' (bootstrap through the time limit); reset done
+        # lanes manually afterwards
+        env_states2, obs2, rew, done, _ = jax.vmap(env_plain.step)(
             env_states, acts, jax.random.split(kstep, n_envs))
-        # auto-reset happened where done: obs2 belongs to a new episode
-        valid = 1.0 - done.all(axis=-1).astype(jnp.float32)   # [n_envs]
         idx = buffer.ptr
         f32 = jnp.float32  # buffer is f32 regardless of env dtype (x64 tests)
         buffer = buffer._replace(
@@ -191,12 +191,21 @@ def build_maddpg(
                 buffer.rew, rew.astype(f32), idx, 0),
             obs2=jax.lax.dynamic_update_slice_in_dim(
                 buffer.obs2, obs2.astype(f32), idx, 0),
-            valid=jax.lax.dynamic_update_slice_in_dim(
-                buffer.valid, valid, idx, 0),
             ptr=(idx + n_envs) % capacity,
             size=jnp.minimum(buffer.size + n_envs, capacity),
         )
-        return env_states2, obs2, buffer, rew.mean()
+        # manual reset of done lanes (env.step without auto_reset keeps
+        # running past the horizon otherwise)
+        kreset = jax.random.fold_in(key, 7)
+        fresh_states, fresh_obs = jax.vmap(env.reset)(
+            jax.random.split(kreset, n_envs))
+        ep_done = done.all(axis=-1)
+        env_states2 = jax.tree.map(
+            lambda f, o: jnp.where(
+                ep_done.reshape((-1,) + (1,) * (o.ndim - 1)), f, o),
+            fresh_states, env_states2)
+        obs2_next = jnp.where(ep_done[:, None, None], fresh_obs, obs2)
+        return env_states2, obs2_next, buffer, rew.mean()
 
     def _joint(obs_b, act_b):
         """[B, A, O], [B, A, K] -> [B, A*(O+K)]."""
@@ -207,13 +216,14 @@ def build_maddpg(
     @jax.jit
     def update_fn(params, targets, opt_states, buffer: Buffer, key,
                   do_actor=True):
-        ks, kg = jax.random.split(key)
-        idx = jax.random.randint(ks, (batch,), 0, buffer.size)
+        """Precondition: the buffer holds data (run collect_fn first);
+        the max() guard below only prevents randint(0, 0) UB."""
+        idx = jax.random.randint(key, (batch,), 0,
+                                 jnp.maximum(buffer.size, 1))
         obs_b = buffer.obs[idx]
         act_b = buffer.act[idx]
         rew_b = buffer.rew[idx]
         obs2_b = buffer.obs2[idx]
-        valid_b = buffer.valid[idx]
 
         # target actions from target actors (deterministic argmax one-hot)
         tgt_logits = jax.vmap(
@@ -223,7 +233,8 @@ def build_maddpg(
         joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
         q_next = jax.vmap(
             lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
-        y = rew_b.T + gamma * valid_b[None] * q_next          # [A, B]
+        # bootstrap through the time limit (episodes only truncate)
+        y = rew_b.T + gamma * q_next                           # [A, B]
         y = jax.lax.stop_gradient(y)
 
         def critic_loss(critic_params):

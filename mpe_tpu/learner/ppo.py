@@ -36,18 +36,15 @@ from mpe_tpu.envs.functional import MpeEnv
 def init_ac(key, obs_dim: int, act_dim: int, hidden: int = 64,
             dtype=jnp.float32) -> dict[str, Any]:
     """Actor-critic MLP: shared torso, policy + value heads."""
+    from mpe_tpu.learner._nets import dense_init
+
     ks = jax.random.split(key, 4)
-
-    def dense(k, i, o, scale=None):
-        s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
-        return {"w": jax.random.normal(k, (i, o), dtype) * s,
-                "b": jnp.zeros((o,), dtype)}
-
     return {
-        "l1": dense(ks[0], obs_dim, hidden),
-        "l2": dense(ks[1], hidden, hidden),
-        "pi": dense(ks[2], hidden, act_dim, scale=jnp.asarray(0.01, dtype)),
-        "v": dense(ks[3], hidden, 1),
+        "l1": dense_init(ks[0], obs_dim, hidden, dtype),
+        "l2": dense_init(ks[1], hidden, hidden, dtype),
+        "pi": dense_init(ks[2], hidden, act_dim, dtype,
+                         scale=jnp.asarray(0.01, dtype)),
+        "v": dense_init(ks[3], hidden, 1, dtype),
     }
 
 
@@ -228,20 +225,17 @@ def init_mappo(key, obs_dim: int, act_dim: int, n_agents: int,
                hidden: int = 64, dtype=jnp.float32) -> dict[str, Any]:
     """Decentralized actor (per-agent obs) + centralized critic (joint
     obs of all agents)."""
+    from mpe_tpu.learner._nets import dense_init
+
     ks = jax.random.split(key, 6)
-
-    def dense(k, i, o, scale=None):
-        s = jnp.sqrt(2.0 / i).astype(dtype) if scale is None else scale
-        return {"w": jax.random.normal(k, (i, o), dtype) * s,
-                "b": jnp.zeros((o,), dtype)}
-
     return {
-        "a1": dense(ks[0], obs_dim, hidden),
-        "a2": dense(ks[1], hidden, hidden),
-        "pi": dense(ks[2], hidden, act_dim, scale=jnp.asarray(0.01, dtype)),
-        "c1": dense(ks[3], obs_dim * n_agents, hidden),
-        "c2": dense(ks[4], hidden, hidden),
-        "v": dense(ks[5], hidden, 1),
+        "a1": dense_init(ks[0], obs_dim, hidden, dtype),
+        "a2": dense_init(ks[1], hidden, hidden, dtype),
+        "pi": dense_init(ks[2], hidden, act_dim, dtype,
+                         scale=jnp.asarray(0.01, dtype)),
+        "c1": dense_init(ks[3], obs_dim * n_agents, hidden, dtype),
+        "c2": dense_init(ks[4], hidden, hidden, dtype),
+        "v": dense_init(ks[5], hidden, 1, dtype),
     }
 
 

@@ -233,7 +233,7 @@ def fused_spread_rollout(
     spec: ScenarioSpec,
     n_envs: int,
     n_steps: int,
-    horizon: int = 100,
+    horizon: int | None = 100,
     block_envs: int = 1024,
     interpret: bool = False,
 ):
@@ -428,7 +428,7 @@ def sharded_fused_rollout(
     n_envs: int,
     n_steps: int,
     mesh=None,
-    horizon: int = 100,
+    horizon: int | None = 100,
     block_envs: int = 1024,
     interpret: bool = False,
     axis_name: str = "env",

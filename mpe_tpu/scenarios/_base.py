@@ -203,4 +203,7 @@ def take_row(table: jax.Array, idx: jax.Array) -> jax.Array:
     One-hot times table is numerically identical (exact 1.0/0.0 weights).
     table: [L, ...rows]; idx: scalar int -> [...rows]."""
     onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
-    return jnp.tensordot(onehot, table, axes=1)
+    # HIGHEST precision: default TPU matmul precision could round the
+    # selected row through bf16 and break reference parity
+    return jnp.tensordot(onehot, table, axes=1,
+                         precision=jax.lax.Precision.HIGHEST)

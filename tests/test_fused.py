@@ -275,3 +275,22 @@ def test_generic_fused_policy_rollout_interpret():
         assert np.isfinite(np.asarray(ret)).all(), name
         np.testing.assert_array_equal(
             np.asarray(eps), np.full((1, 256), 2.0, np.float32))
+
+
+def test_fused_rollout_horizon_none_never_resets():
+    """horizon=None reproduces the reference's never-terminating
+    semantics in the fused engine (incl. the goal-scenario branch)."""
+    from mpe_tpu.ops.fused_rollout import fused_rollout
+
+    for name in ("simple_spread", "simple_adversary"):
+        run = fused_rollout(name, n_envs=128, n_steps=12, horizon=None,
+                            block_envs=128, interpret=True)
+        pos, vel, rew, ocs = run(0)
+        assert np.isfinite(np.asarray(pos)).all(), name
+        assert np.isfinite(np.asarray(rew)).all(), name
+    # with no resets, positions drift beyond the reset box under random
+    # forces given enough steps — distinguishes from horizon=1
+    run_long = fused_rollout("simple", n_envs=128, n_steps=200,
+                             horizon=None, block_envs=128, interpret=True)
+    pos, *_ = run_long(0)
+    assert np.abs(np.asarray(pos)[0]).max() > 1.2
