@@ -3,6 +3,12 @@
 Gumbel-max sampling in one Pallas kernel (TPU; --interpret elsewhere).
 
     python examples/evaluate_policy.py --scenario simple_tag --n-envs 4096
+
+Evaluate a policy trained by train.py (REINFORCE head — the architecture
+the fused kernel runs) instead of a random-init one:
+
+    python examples/train.py --scenario simple --iters 150 --save /tmp/p.npz
+    python examples/evaluate_policy.py --scenario simple --load /tmp/p.npz
 """
 import argparse
 import os
@@ -19,6 +25,10 @@ def main():
     ap.add_argument("--horizon", type=int, default=100)
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--load", default=None, metavar="PATH",
+                    help="npz checkpoint from train.py --algo reinforce "
+                         "--save (must match this scenario's obs/action "
+                         "widths)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -33,6 +43,17 @@ def main():
     k = kernel_scenario(args.scenario)
     dim_c = k.spec.dim_c if k.uses_comm else 0
     params = init_policy(jax.random.PRNGKey(0), k.obs_w, 5 + dim_c)
+    if args.load:
+        from mpe_tpu.utils.checkpoint import load_checkpoint
+
+        loaded, step, _ = load_checkpoint(args.load, params)
+        for name, layer in params.items():   # width compatibility check
+            assert loaded[name]["w"].shape == layer["w"].shape, (
+                f"checkpoint layer {name!r}: {loaded[name]['w'].shape} vs "
+                f"expected {layer['w'].shape} — trained on a different "
+                f"scenario or a non-REINFORCE head?")
+        params = jax.tree.map(lambda x: x.astype(jax.numpy.float32), loaded)
+        print(f"loaded {args.load} (trained {step} iters)")
     run = fused_policy_rollout(
         k, params, n_envs=args.n_envs, n_steps=args.n_steps,
         horizon=args.horizon,

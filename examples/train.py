@@ -1,14 +1,65 @@
 #!/usr/bin/env python
-"""Data-parallel REINFORCE on any scenario: envs sharded over the device
-mesh, gradients pmean-reduced, all rollout compute on device.
+"""Train any of the four learners on any scenario: envs sharded over the
+device mesh, gradients pmean-reduced, all rollout compute on device.
+Prints a greedy-policy evaluation (reward per agent-step) at the end and
+optionally checkpoints the trained parameters.
 
-    python examples/train.py --scenario simple_spread --iters 50
+    python examples/train.py --algo mappo --scenario simple_spread --iters 600
+    python examples/train.py --algo maddpg --scenario simple --save /tmp/p.npz
 """
 import argparse
 import os
 import sys
 
 sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def greedy_eval(scn, algo, params, n_envs=128, n_steps=25, seed=123):
+    """Reward per agent-step of the argmax (no-exploration) policy,
+    rolled out env-minor on device — the methodology of the README
+    learner table and tests/test_sharding.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpe_tpu.envs import MpeEnv
+    from mpe_tpu.parallel import build_rollout
+
+    env = MpeEnv(scn)
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    pad_c = env.action_width - mw
+
+    def per_env_logits(obs):
+        """[A, O] -> full-width action logits [A, W] (comm logits only
+        for the REINFORCE head; others pad comm with zeros)."""
+        if algo == "maddpg":
+            from mpe_tpu.learner.maddpg import actor_logits_i
+            return jax.vmap(actor_logits_i)(params["actor"], obs)
+        if algo == "mappo":
+            from mpe_tpu.learner.ppo import actor_logits
+            return actor_logits(params, obs)
+        if algo == "ppo":
+            from mpe_tpu.learner.ppo import policy_value
+            return policy_value(params, obs)[0]
+        from mpe_tpu.learner.pg import policy_logits
+        return policy_logits(params, obs)
+
+    def pol(obs, key):
+        logits = jax.vmap(per_env_logits, in_axes=-1, out_axes=-1)(obs)
+        move = jax.nn.one_hot(jnp.argmax(logits[:, :mw], axis=1), mw,
+                              dtype=env.dtype, axis=1)
+        parts = [move]
+        if logits.shape[1] > mw:          # REINFORCE comm head
+            parts.append(jax.nn.one_hot(
+                jnp.argmax(logits[:, mw:], axis=1),
+                logits.shape[1] - mw, dtype=env.dtype, axis=1))
+        elif pad_c:
+            parts.append(jnp.zeros((a, pad_c, obs.shape[-1]), env.dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    r = build_rollout(env, n_envs, n_steps, policy=pol, env_axis=-1)
+    _, tot = r(jax.random.PRNGKey(seed))
+    return float(tot) / (n_envs * n_steps * a)
 
 
 def main():
@@ -21,6 +72,8 @@ def main():
     ap.add_argument("--algo", default="reinforce",
                     choices=["reinforce", "ppo", "mappo", "maddpg"])
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--save", default=None, metavar="PATH",
+                    help="checkpoint trained params (npz) at the end")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -73,8 +126,7 @@ def main():
             if it % 500 == 0 or it == args.iters - 1:
                 print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
                       f"q {float(m['q']):+.2f}")
-        return
-    if args.algo in ("ppo", "mappo"):
+    elif args.algo in ("ppo", "mappo"):
         if args.algo == "mappo":
             from mpe_tpu.learner import build_mappo_step, init_mappo
 
@@ -96,6 +148,7 @@ def main():
             if it % 10 == 0 or it == args.iters - 1:
                 print(f"iter {it:4d}  reward/step {float(m['mean_reward']):+.3f}"
                       f"  entropy {float(m['entropy']):.3f}")
+        params = state[0]
     else:
         params = init_policy(jax.random.PRNGKey(0), scn.obs_width,
                              env.action_width)
@@ -105,6 +158,14 @@ def main():
             params, loss = train(params, jax.random.fold_in(key, it))
             if it % 10 == 0 or it == args.iters - 1:
                 print(f"iter {it:4d}  loss {float(loss):+.4f}")
+
+    g = greedy_eval(scn, args.algo, params)
+    print(f"greedy eval: reward per agent-step {g:+.3f}")
+    if args.save:
+        from mpe_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save, params, step=args.iters)
+        print(f"saved params -> {args.save}")
 
 
 if __name__ == "__main__":
