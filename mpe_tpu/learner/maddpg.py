@@ -118,6 +118,7 @@ def build_maddpg(
     eps_greedy: float = 0.1,
     actor_lr: float = 1e-3,
     critic_lr: float = 1e-3,
+    ent_coef: float = 0.01,
 ):
     """-> (reset_fn, collect_fn, update_fn), all jitted.
 
@@ -270,7 +271,7 @@ def build_maddpg(
                                 axis=-1)
                 ent = -jnp.sum(probs[:, i] * jnp.log(probs[:, i] + 1e-10),
                                axis=-1)
-                total = total - (exp_q + 0.01 * ent).mean()
+                total = total - (exp_q + ent_coef * ent).mean()
             return total / a
 
         aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])

@@ -86,11 +86,14 @@ def spread_physics_block(spec: ScenarioSpec, apos, avel, move):
             if not (spec.collide[i] and spec.collide[j]):
                 continue
             delta = apos[i] - apos[j]                        # [P, N]
-            dist = jnp.sqrt(jnp.sum(jnp.square(delta), axis=0,
-                                    keepdims=True))          # [1, N]
+            d2 = jnp.sum(jnp.square(delta), axis=0, keepdims=True)
+            # rsqrt + multiplies instead of sqrt + divide: one slow VPU
+            # op per pair instead of two (dist = d2*rsqrt(d2))
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))      # [1, N]
+            dist = d2 * inv
             dmin = float(spec.size[i] + spec.size[j])
             pen = jnp.logaddexp(jnp.zeros((), dtype), -(dist - dmin) / k) * k
-            f = (cf * pen / jnp.maximum(dist, 1e-30)) * delta
+            f = (cf * pen) * inv * delta
             rows[i] = rows[i] + f
             rows[j] = rows[j] - f
     force = jnp.stack(rows)                                  # [A, P, N]

@@ -17,6 +17,7 @@ non-movable entities pass through untouched.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mpe_tpu.core.state import ScenarioSpec
@@ -58,11 +59,14 @@ def generic_physics_block(spec: ScenarioSpec, pos, vel, move):
             if not (spec.movable[i] or spec.movable[j]):
                 continue
             delta = pos[i] - pos[j]                          # [P, N]
-            dist = jnp.sqrt(jnp.sum(jnp.square(delta), axis=0,
-                                    keepdims=True))
+            d2 = jnp.sum(jnp.square(delta), axis=0, keepdims=True)
+            # rsqrt + multiplies instead of sqrt + divide (see
+            # spread_physics_block)
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))
+            dist = d2 * inv
             dmin = float(spec.size[i] + spec.size[j])
             pen = jnp.logaddexp(jnp.zeros((), dtype), -(dist - dmin) / k) * k
-            f = (cf * pen / jnp.maximum(dist, 1e-30)) * delta
+            f = (cf * pen) * inv * delta
             if spec.movable[i]:
                 rows[i] = f if rows[i] is None else rows[i] + f
             if spec.movable[j]:
@@ -81,9 +85,9 @@ def generic_physics_block(spec: ScenarioSpec, pos, vel, move):
             v = v + force * (dt / float(spec.initial_mass[i]))
         ms = float(spec.max_speed[i])
         if np.isfinite(ms):
-            speed = jnp.sqrt(jnp.sum(jnp.square(v), axis=0, keepdims=True))
-            v = jnp.where(speed > ms,
-                          v / jnp.maximum(speed, 1e-30) * ms, v)
+            s2 = jnp.sum(jnp.square(v), axis=0, keepdims=True)
+            inv_s = jax.lax.rsqrt(jnp.maximum(s2, 1e-60))
+            v = jnp.where(s2 > ms * ms, v * (ms * inv_s), v)
         new_vel.append(v)
         new_pos.append(pos[i] + v * dt)
     return jnp.stack(new_pos), jnp.stack(new_vel)
