@@ -103,10 +103,12 @@ def main():
                              env.n_agents)
         targets = jax.tree.map(lambda x: x, params)
         reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
-            env, n_envs=maddpg_envs, capacity=capacity, batch=512,
+            env, n_envs=maddpg_envs, capacity=capacity, batch=1024,
+            tau_polyak=0.01,
             # scaled off --lr so flags take effect; defaults land on the
-            # tested 3e-4 / 1e-3 configuration
-            actor_lr=args.lr / 10, critic_lr=args.lr / 3)
+            # swept 1e-3/1e-3 config (greedy -6.1 on spread @24k iters;
+            # tau 0.05 or batch 512 collapse to worse-than-random)
+            actor_lr=args.lr / 3, critic_lr=args.lr / 3)
         opt_states = init_opt(params)
         buffer = init_buffer(capacity, env.n_agents, scn.obs_width, mw)
         states, obs = reset_fn(key)
