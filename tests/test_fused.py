@@ -294,3 +294,21 @@ def test_fused_rollout_horizon_none_never_resets():
                              horizon=None, block_envs=128, interpret=True)
     pos, *_ = run_long(0)
     assert np.abs(np.asarray(pos)[0]).max() > 1.2
+
+
+def test_kernel_physics_exact_overlap_finite():
+    """Two distinct colliders at the exact same position: the kernel pair
+    math (rsqrt with a floor) must produce finite forces, matching the
+    vmapped path's guard (the raw reference NaNs here, core.py:193)."""
+    from mpe_tpu.ops.kernel_scenarios import generic_physics_block
+
+    spec = scenarios.load("simple_spread").spec
+    e = spec.n_entities
+    pos = jnp.zeros((e, 2, 8), jnp.float64)           # everyone stacked
+    vel = jnp.zeros((e, 2, 8), jnp.float64)
+    move = jnp.zeros((3, 5, 8), jnp.float64)
+    p2, v2 = generic_physics_block(spec, pos, vel, move)
+    assert np.isfinite(np.asarray(p2)).all()
+    assert np.isfinite(np.asarray(v2)).all()
+    # overlapped pair: delta is zero so the collision force is exactly 0
+    np.testing.assert_array_equal(np.asarray(v2[:3]), 0.0)
