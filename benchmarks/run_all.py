@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--n-steps", type=int, default=10000)
     ap.add_argument("--xla-steps", type=int, default=2000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--scenarios", default=None,
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,9 @@ def main():
 
     report = {"device": str(jax.devices()[0]), "n_envs": args.n_envs,
               "scenarios": {}}
-    for name in scenarios.names():
+    names = (args.scenarios.split(",") if args.scenarios
+             else scenarios.names())
+    for name in names:
         row = {}
         run = fused_rollout(name, args.n_envs, args.n_steps, horizon=100)
         row["fused_steps_per_s"] = measure(
