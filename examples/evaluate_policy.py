@@ -46,7 +46,10 @@ def main():
     if args.load:
         from mpe_tpu.utils.checkpoint import load_checkpoint
 
-        loaded, step, _ = load_checkpoint(args.load, params)
+        # load_checkpoint's template must mirror the saved {'state': ...}
+        # payload structure (see utils/checkpoint.py contract).
+        payload, step, _ = load_checkpoint(args.load, {"state": params})
+        loaded = payload["state"]
         for name, layer in params.items():   # width compatibility check
             assert loaded[name]["w"].shape == layer["w"].shape, (
                 f"checkpoint layer {name!r}: {loaded[name]['w'].shape} vs "

@@ -1,8 +1,11 @@
-from mpe_tpu.learner.maddpg import (
-    build_maddpg, init_buffer, init_maddpg)
-from mpe_tpu.learner.ppo import (
-    actor_logits, build_mappo_step, build_ppo_step, central_value, init_ac,
-    init_mappo, policy_value)
+"""Learners (REINFORCE / PPO / MAPPO / MADDPG).
+
+PPO-family learners and MADDPG need ``optax`` (the ``learn`` extra in
+pyproject.toml). The package degrades gracefully without it: the pure-JAX
+REINFORCE learner (pg.py) always imports, and the optax-backed symbols
+raise a clear ImportError only when actually used.
+"""
+
 from mpe_tpu.learner.pg import (
     init_policy,
     policy_logits,
@@ -10,7 +13,33 @@ from mpe_tpu.learner.pg import (
     build_train_step,
 )
 
+try:
+    from mpe_tpu.learner.maddpg import (
+        build_maddpg, init_buffer, init_maddpg)
+    from mpe_tpu.learner.ppo import (
+        actor_logits, build_mappo_step, build_ppo_step, central_value,
+        init_ac, init_mappo, policy_value)
+    HAS_OPTAX = True
+except ModuleNotFoundError as _e:  # pragma: no cover - optax is in the image
+    if _e.name != "optax":
+        raise
+    HAS_OPTAX = False
+    _msg = ("mpe_tpu.learner.{name} requires optax; install the 'learn' "
+            "extra: pip install mpe-tpu[learn]")
+
+    def _missing(name):
+        def _raiser(*a, **k):
+            raise ImportError(_msg.format(name=name))
+        _raiser.__name__ = name
+        return _raiser
+
+    for _n in ("build_maddpg", "init_buffer", "init_maddpg", "actor_logits",
+               "build_mappo_step", "build_ppo_step", "central_value",
+               "init_ac", "init_mappo", "policy_value"):
+        globals()[_n] = _missing(_n)
+    del _n
+
 __all__ = ["init_policy", "policy_logits", "sample_actions", "build_train_step",
            "build_ppo_step", "init_ac", "policy_value",
            "build_mappo_step", "init_mappo", "actor_logits", "central_value",
-           "build_maddpg", "init_maddpg", "init_buffer"]
+           "build_maddpg", "init_maddpg", "init_buffer", "HAS_OPTAX"]

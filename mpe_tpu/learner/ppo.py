@@ -166,8 +166,9 @@ def build_ppo_step(
             ratio * adv_n,
             jnp.clip(ratio, 1 - clip, 1 + clip) * adv_n).mean()
         # PPO-style clipped value loss: limits how far the critic moves
-        # from its rollout-time predictions per iteration
-        v_clip = value_old + jnp.clip(value - value_old, -10.0, 10.0)
+        # from its rollout-time predictions per iteration (same range as
+        # the policy clip, per the common PPO2 implementation)
+        v_clip = value_old + jnp.clip(value - value_old, -clip, clip)
         vloss = jnp.maximum(jnp.square(value - ret),
                             jnp.square(v_clip - ret)).mean()
         ent = -jnp.sum(
@@ -346,7 +347,7 @@ def build_mappo_step(
         pg = -jnp.minimum(
             ratio * adv_b, jnp.clip(ratio, 1 - clip, 1 + clip) * adv_b
         ).mean()
-        v_clip = value_old + jnp.clip(value - value_old, -10.0, 10.0)
+        v_clip = value_old + jnp.clip(value - value_old, -clip, clip)
         vloss = jnp.maximum(jnp.square(value - ret),
                             jnp.square(v_clip - ret)).mean()
         ent = -jnp.sum(

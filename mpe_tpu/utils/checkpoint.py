@@ -23,9 +23,16 @@ import numpy as np
 import jax
 
 
+def _norm_path(path: str) -> str:
+    # np.savez silently appends ".npz" when the extension is missing;
+    # normalize in both directions so save("/tmp/p") / load("/tmp/p") agree.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, state, key=None, step: int | None = None,
                     extra: dict | None = None) -> None:
     """Snapshot (state pytree, RNG key, step count) to ``path`` (.npz)."""
+    path = _norm_path(path)
     payload = {"state": state}
     if key is not None:
         payload["key"] = key
@@ -49,7 +56,7 @@ def load_checkpoint(path: str, like) -> tuple:
     its treedef is used to unflatten. Returns ``(payload, step, extra)``
     where payload mirrors the save-time dict.
     """
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_norm_path(path), allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
     treedef = jax.tree.structure(like)
