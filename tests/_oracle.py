@@ -49,6 +49,39 @@ def load_ref_scenario(name: str):
     return scn, world
 
 
+def load_ref_env(name: str, benchmark: bool = False):
+    """Build the GENUINE reference env end-to-end: the real ``make_env.py``
+    driving the real ``MultiAgentEnv`` (environment.py:9-263) behind the
+    test-only gym/imp stubs (tests/_gym_stub.py). All decode/step/reward
+    logic exercised is the reference's own code.
+
+    -> the genuine MultiAgentEnv instance.
+    """
+    from tests import _gym_stub
+
+    _gym_stub.install()
+    _ensure_ref_package()
+    if "multiagent.environment" not in sys.modules:
+        _load_module("multiagent.multi_discrete", f"{REF_DIR}/multi_discrete.py")
+        _load_module("multiagent.environment", f"{REF_DIR}/environment.py")
+        _load_module("multiagent.scenarios", f"{REF_DIR}/scenarios/__init__.py")
+    mk = _load_module("ref_make_env", "/root/reference/make_env.py")
+    return mk.make_env(name, benchmark=benchmark)
+
+
+def ref_env_class():
+    """The genuine ``MultiAgentEnv`` class (for ad-hoc construction)."""
+    from tests import _gym_stub
+
+    _gym_stub.install()
+    _ensure_ref_package()
+    if "multiagent.environment" not in sys.modules:
+        _load_module("multiagent.multi_discrete", f"{REF_DIR}/multi_discrete.py")
+        _load_module("multiagent.environment", f"{REF_DIR}/environment.py")
+        _load_module("multiagent.scenarios", f"{REF_DIR}/scenarios/__init__.py")
+    return sys.modules["multiagent.environment"].MultiAgentEnv
+
+
 # ---------------------------------------------------------------------------
 # state sync
 # ---------------------------------------------------------------------------
@@ -119,50 +152,40 @@ def assert_obs_close(obs_padded, obs_dims, ref_obs_list, atol=1e-9):
 
 
 # ---------------------------------------------------------------------------
-# reference action decode oracle (test-only reimplementation of
-# environment.py:144-192 — environment.py itself needs gym, unavailable here)
+# genuine-code action decode (replaces the former transcribed oracle: the
+# reference's own _set_action, environment.py:144-192, via ref_env_class)
 # ---------------------------------------------------------------------------
 
-def oracle_set_action(action, agent, world, sub_sizes=None,
-                      discrete_action_space=True, discrete_action_input=False,
-                      force_discrete_action=False):
-    """Returns (u, c) for one agent given a reference-format action."""
-    u = np.zeros(world.dim_p)
-    c = np.zeros(world.dim_c)
-    if sub_sizes is not None:  # MultiDiscrete split
-        segs, idx = [], 0
-        for s in sub_sizes:
-            segs.append(np.asarray(action[idx:idx + s], np.float64))
-            idx += s
-        action = segs
-    else:
-        action = [action]
-    if agent.movable:
-        if discrete_action_input:
-            if action[0] == 1: u[0] = -1.0
-            if action[0] == 2: u[0] = +1.0
-            if action[0] == 3: u[1] = -1.0
-            if action[0] == 4: u[1] = +1.0
-        else:
-            a0 = np.asarray(action[0], np.float64).copy()
-            if force_discrete_action:
-                d = np.argmax(a0)
-                a0[:] = 0.0
-                a0[d] = 1.0
-            if discrete_action_space:
-                u[0] += a0[1] - a0[2]
-                u[1] += a0[3] - a0[4]
-            else:
-                u = a0
-        sensitivity = 5.0 if agent.accel is None else agent.accel
-        u = u * sensitivity
-        action = action[1:]
-    if not agent.silent:
-        if discrete_action_input:
-            c = np.zeros(world.dim_c)
-            c[int(action[0])] = 1.0
-        else:
-            c = np.asarray(action[0], np.float64)
-        action = action[1:]
-    assert len(action) == 0
-    return u, c
+def genuine_env_over(world, discrete_action_space=True,
+                     discrete_action_input=False, force_discrete_action=False):
+    """Genuine ``MultiAgentEnv`` over an existing world, obs stubbed.
+
+    Spaces are assembled by the genuine environment.py:38-70 (under the
+    default discrete flags); the mode flags are then overridden for the
+    decode path. Note the reference itself only supports non-default modes
+    on single-segment agents (its MultiDiscrete split and Tuple handling
+    assume the default mode), so callers restrict accordingly.
+    """
+    cls = ref_env_class()
+    env = cls(world, observation_callback=lambda a, w: np.zeros(1))
+    env.discrete_action_space = discrete_action_space
+    env.discrete_action_input = discrete_action_input
+    env.force_discrete_action = force_discrete_action
+    return env
+
+
+def genuine_decode(env, action_n):
+    """Run the GENUINE ``_set_action`` (environment.py:144-192) per agent;
+    -> (u [A,2], c [A,dim_c]) float64 arrays read back from Action structs."""
+    world = env.world
+    us, cs = [], []
+    for i, agent in enumerate(env.agents):
+        act = action_n[i]
+        if not isinstance(act, (int, np.integer)):
+            act = np.asarray(act, np.float64)
+        env._set_action(act, agent, env.action_space[i])
+        us.append(np.array(agent.action.u, np.float64)
+                  if agent.movable else np.zeros(world.dim_p))
+        cs.append(np.array(agent.action.c, np.float64)
+                  if not agent.silent else np.zeros(world.dim_c))
+    return np.stack(us), np.stack(cs)

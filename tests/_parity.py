@@ -17,6 +17,43 @@ from mpe_tpu.core.physics import step_world
 from tests import _oracle as O
 
 
+# ---------------------------------------------------------------------------
+# per-scenario goal extraction (reference stores goals as object references
+# on agents; our WorldState carries them as landmark indices)
+# ---------------------------------------------------------------------------
+
+def _goal_b_both_agents(world):
+    return np.array(
+        [O.landmark_index(world, world.agents[0].goal_b),
+         O.landmark_index(world, world.agents[1].goal_b)], np.int32)
+
+
+def _goal_b_agent0(world):
+    return np.array([O.landmark_index(world, world.agents[0].goal_b)], np.int32)
+
+
+def _goal_a_agent0(world):
+    return np.array([O.landmark_index(world, world.agents[0].goal_a)], np.int32)
+
+
+def _crypto_goals(world):
+    goal = O.landmark_index(world, world.agents[0].goal_a)
+    key = next(
+        i for i, l in enumerate(world.landmarks)
+        if np.array_equal(l.color, world.agents[2].key)
+    )
+    return np.array([goal, key], np.int32)
+
+
+GOAL_EXTRACTORS = {
+    "simple_reference": _goal_b_both_agents,
+    "simple_speaker_listener": _goal_b_agent0,
+    "simple_adversary": _goal_a_agent0,
+    "simple_push": _goal_a_agent0,
+    "simple_crypto": _crypto_goals,
+}
+
+
 def run_parity(
     name: str,
     our_scn,

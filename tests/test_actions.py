@@ -20,14 +20,11 @@ def _ref_world(name):
 
 
 def _ref_decode_all(env, world, action_n, **kw):
-    us, cs = [], []
-    for i, agent in enumerate(world.agents):
-        space = env.action_spaces()[i]
-        sizes = space.sizes if isinstance(space, spaces.MultiDiscrete) else None
-        u, c = O.oracle_set_action(action_n[i], agent, world, sub_sizes=sizes, **kw)
-        us.append(u)
-        cs.append(c)
-    return np.stack(us), np.stack(cs)
+    """Decode via the GENUINE environment.py _set_action (tests/_oracle.py
+    drives the real class behind the gym stub; ``env`` kept for signature
+    compatibility, spaces come from the genuine assembly)."""
+    del env
+    return O.genuine_decode(O.genuine_env_over(world, **kw), action_n)
 
 
 @pytest.mark.parametrize("name", ["simple", "simple_spread"])
@@ -155,18 +152,14 @@ def test_decode_fuzz_random_configs(seed):
     canonical = jnp.asarray(
         rng.uniform(0, 1, (a, env.action_width)), jnp.float64)
     u, c = decode_actions(spec, canonical, ActionMode.DISCRETE, jnp.float64)
-    for i, agent in enumerate(world.agents):
+    flats = []
+    for i in range(a):
         segs = []
         if movable[i]:
             segs.append(np.asarray(canonical[i, :5]))
         if not spec.silent[i]:
             segs.append(np.asarray(canonical[i, 5:5 + dim_c]))
-        flat = np.concatenate(segs)
-        sizes = None
-        if movable[i] and not spec.silent[i]:
-            sizes = [5, dim_c]
-        ur, cr = O.oracle_set_action(flat, agent, world, sub_sizes=sizes)
-        np.testing.assert_allclose(np.asarray(u[i]), ur, atol=1e-12,
-                                   err_msg=f"agent {i} u")
-        np.testing.assert_allclose(np.asarray(c[i]), cr, atol=1e-12,
-                                   err_msg=f"agent {i} c")
+        flats.append(np.concatenate(segs))
+    u_ref, c_ref = O.genuine_decode(O.genuine_env_over(world), flats)
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-12)

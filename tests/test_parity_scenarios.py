@@ -9,30 +9,9 @@ import pytest
 
 from mpe_tpu import scenarios
 from tests import _oracle as O
-from tests._parity import run_parity
-
-
-def _goal_b_both_agents(world):
-    return np.array(
-        [O.landmark_index(world, world.agents[0].goal_b),
-         O.landmark_index(world, world.agents[1].goal_b)], np.int32)
-
-
-def _goal_b_agent0(world):
-    return np.array([O.landmark_index(world, world.agents[0].goal_b)], np.int32)
-
-
-def _goal_a_agent0(world):
-    return np.array([O.landmark_index(world, world.agents[0].goal_a)], np.int32)
-
-
-def _crypto_goals(world):
-    goal = O.landmark_index(world, world.agents[0].goal_a)
-    key = next(
-        i for i, l in enumerate(world.landmarks)
-        if np.array_equal(l.color, world.agents[2].key)
-    )
-    return np.array([goal, key], np.int32)
+from tests._parity import (
+    run_parity, _goal_b_both_agents, _goal_b_agent0, _goal_a_agent0,
+    _crypto_goals)
 
 
 @pytest.mark.parametrize("seed", [0, 11])
