@@ -7,13 +7,13 @@ from mpe_tpu import scenarios
 from tests._parity import run_parity
 
 
-@pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_parity(seed):
-    run_parity("simple", scenarios.load("simple"), n_steps=30, seed=seed,
+    run_parity("simple", scenarios.load("simple"), n_steps=200, seed=seed,
                u_scale=1.0)
 
 
-@pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_spread_parity(seed):
     def check_benchmark(our, state, ref, world, atol):
         ours = {k: np.asarray(v) for k, v in our.benchmark_data(state).items()}
@@ -25,7 +25,7 @@ def test_simple_spread_parity(seed):
             assert ours["occupied_landmarks"] == occ
 
     run_parity("simple_spread", scenarios.load("simple_spread"),
-               n_steps=30, seed=seed, check_benchmark=check_benchmark,
+               n_steps=200, seed=seed, check_benchmark=check_benchmark,
                u_scale=1.0)
 
 

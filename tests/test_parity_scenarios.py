@@ -14,20 +14,20 @@ from tests._parity import (
     _crypto_goals)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_reference_parity(seed):
     run_parity("simple_reference", scenarios.load("simple_reference"),
-               n_steps=25, seed=seed, extract_goal=_goal_b_both_agents)
+               n_steps=200, seed=seed, extract_goal=_goal_b_both_agents)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_speaker_listener_parity(seed):
     run_parity("simple_speaker_listener",
                scenarios.load("simple_speaker_listener"),
-               n_steps=25, seed=seed, extract_goal=_goal_b_agent0)
+               n_steps=200, seed=seed, extract_goal=_goal_b_agent0)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_adversary_parity(seed):
     def check_benchmark(our, state, ref, world, atol):
         ours = our.benchmark_data(state)
@@ -41,17 +41,17 @@ def test_simple_adversary_parity(seed):
                 np.testing.assert_allclose(dists[i], np.asarray(ref_bd), atol=atol)
 
     run_parity("simple_adversary", scenarios.load("simple_adversary"),
-               n_steps=25, seed=seed, extract_goal=_goal_a_agent0,
+               n_steps=200, seed=seed, extract_goal=_goal_a_agent0,
                check_benchmark=check_benchmark)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_push_parity(seed):
     run_parity("simple_push", scenarios.load("simple_push"),
-               n_steps=25, seed=seed, extract_goal=_goal_a_agent0)
+               n_steps=200, seed=seed, extract_goal=_goal_a_agent0)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_tag_parity(seed):
     def check_benchmark(our, state, ref, world, atol):
         ours = np.asarray(our.benchmark_data(state)["collisions"])
@@ -59,11 +59,11 @@ def test_simple_tag_parity(seed):
             assert ours[i] == ref.benchmark_data(agent, world)
 
     run_parity("simple_tag", scenarios.load("simple_tag"),
-               n_steps=40, seed=seed, check_benchmark=check_benchmark,
+               n_steps=200, seed=seed, check_benchmark=check_benchmark,
                u_scale=2.0)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_crypto_parity(seed):
     def check_benchmark(our, state, ref, world, atol):
         ours = our.benchmark_data(state)
@@ -75,11 +75,11 @@ def test_simple_crypto_parity(seed):
                 np.asarray(ours["goal_color"]), goal_ref, atol=atol)
 
     run_parity("simple_crypto", scenarios.load("simple_crypto"),
-               n_steps=15, seed=seed, extract_goal=_crypto_goals,
+               n_steps=200, seed=seed, extract_goal=_crypto_goals,
                check_benchmark=check_benchmark)
 
 
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 7, 11, 23, 42])
 def test_simple_world_comm_parity(seed):
     def check_benchmark(our, state, ref, world, atol):
         ours = np.asarray(our.benchmark_data(state)["collisions"])
@@ -87,7 +87,7 @@ def test_simple_world_comm_parity(seed):
             assert ours[i] == ref.benchmark_data(agent, world)
 
     run_parity("simple_world_comm", scenarios.load("simple_world_comm"),
-               n_steps=40, seed=seed, check_benchmark=check_benchmark,
+               n_steps=200, seed=seed, check_benchmark=check_benchmark,
                u_scale=2.0)
 
 
