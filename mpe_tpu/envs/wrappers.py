@@ -141,16 +141,23 @@ class MultiAgentEnv:
         return [obs[i, :d] for i, d in enumerate(self.scenario.obs_dims)]
 
     def _split_info(self, info: dict) -> list[dict]:
+        """Per-agent info dicts: leaves the scenario DECLARES per-agent
+        (``Scenario.per_agent_info``) are split on their leading axis;
+        everything else is global and handed to every agent whole — no
+        shape heuristics (a global leaf with n_agents rows would be
+        silently misattributed by one)."""
         if not self.benchmark or not info:
             return [{} for _ in range(self.n)]
+        per_agent = self.scenario.per_agent_info
         host = {k: np.asarray(v) for k, v in info.items()}
-        out = []
-        for i in range(self.n):
-            out.append({
-                k: (v[i] if v.ndim > 0 and v.shape[0] == self.n else v)
-                for k, v in host.items()
-            })
-        return out
+        for k in per_agent & host.keys():
+            assert host[k].ndim > 0 and host[k].shape[0] == self.n, (
+                f"info leaf {k!r} declared per-agent but has shape "
+                f"{host[k].shape} (need leading axis {self.n})")
+        return [
+            {k: (v[i] if k in per_agent else v) for k, v in host.items()}
+            for i in range(self.n)
+        ]
 
     # ------------------------------------------------------------------
     def render(self, mode: str = "human"):

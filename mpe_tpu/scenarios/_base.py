@@ -35,6 +35,14 @@ class Scenario:
 
     spec: ScenarioSpec
     obs_dims: tuple[int, ...]
+    #: ``benchmark_data`` keys whose leading axis is the agent axis; the
+    #: stateful wrapper splits exactly these per agent and hands every
+    #: other leaf to all agents whole (the reference computes
+    #: benchmark_data per agent, make_env.py:40-41 + environment.py:
+    #: 119-122 — an explicit declaration instead of a shape heuristic,
+    #: which would misattribute any global leaf that happens to have
+    #: n_agents rows).
+    per_agent_info: frozenset[str] = frozenset()
 
     # -- required hooks -------------------------------------------------
     def reset(self, key: jax.Array, dtype=jnp.float32) -> WorldState:

@@ -25,6 +25,7 @@ from mpe_tpu.scenarios import _base as B
 
 
 class SimpleAdversaryScenario(B.Scenario):
+    per_agent_info = frozenset({"dists"})
     name = "simple_adversary"
 
     def __init__(self):

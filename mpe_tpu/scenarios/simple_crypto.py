@@ -26,6 +26,7 @@ from mpe_tpu.scenarios import _base as B
 
 
 class SimpleCryptoScenario(B.Scenario):
+    per_agent_info = frozenset({"comm"})
     name = "simple_crypto"
 
     def __init__(self):

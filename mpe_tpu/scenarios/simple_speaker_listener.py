@@ -29,6 +29,7 @@ LANDMARK_COLORS = np.array(
 
 
 class SimpleSpeakerListenerScenario(B.Scenario):
+    per_agent_info = frozenset({"rew"})
     name = "simple_speaker_listener"
 
     def __init__(self):

@@ -24,6 +24,7 @@ from mpe_tpu.scenarios import _base as B
 
 
 class SimpleSpreadScenario(B.Scenario):
+    per_agent_info = frozenset({"rew", "collisions"})
     name = "simple_spread"
 
     def __init__(self):

@@ -24,6 +24,7 @@ from mpe_tpu.scenarios import _base as B
 
 
 class SimpleTagScenario(B.Scenario):
+    per_agent_info = frozenset({"collisions"})
     name = "simple_tag"
 
     n_adversaries = 3

@@ -42,6 +42,7 @@ FORESTS = np.array([3, 4])
 
 
 class SimpleWorldCommScenario(B.Scenario):
+    per_agent_info = frozenset({"collisions"})
     name = "simple_world_comm"
 
     def __init__(self):

@@ -31,6 +31,36 @@ def test_benchmark_info_channel():
                                    "occupied_landmarks"}
 
 
+def test_info_attribution_is_declared_not_heuristic():
+    """Info leaves split per-agent iff the scenario declares them in
+    ``per_agent_info`` — a GLOBAL leaf whose leading dim happens to equal
+    n_agents must reach every agent whole (a shape heuristic would
+    silently split it)."""
+    import jax.numpy as jnp
+    from mpe_tpu.envs.wrappers import MultiAgentEnv
+
+    base_cls = type(scenarios.load("simple_spread"))
+
+    class SpreadWithGlobalLeaf(base_cls):
+        # n_landmarks == n_agents == 3: the trap case for the heuristic
+        def benchmark_data(self, state):
+            info = super().benchmark_data(state)
+            info["landmark_x"] = state.pos[self.spec.n_agents:, 0]  # [3]
+            return info
+
+    env = MultiAgentEnv(SpreadWithGlobalLeaf(), benchmark=True, seed=0)
+    env.reset()
+    _, _, _, info_n = env.step([np.zeros(5)] * 3)
+    for i in range(3):
+        # declared per-agent leaves: split to scalars
+        assert np.asarray(info_n["n"][i]["rew"]).shape == ()
+        assert np.asarray(info_n["n"][i]["collisions"]).shape == ()
+        # undeclared [3] leaf: global, delivered whole to every agent
+        assert info_n["n"][i]["landmark_x"].shape == (3,)
+        np.testing.assert_array_equal(info_n["n"][i]["landmark_x"],
+                                      info_n["n"][0]["landmark_x"])
+
+
 def test_horizon_and_autoreset():
     scn = scenarios.load("simple")
     env = MpeEnv(scn, max_steps=5, auto_reset=True)
