@@ -15,9 +15,10 @@ from __future__ import annotations
 import numpy as np
 
 from mpe_tpu.render.raster import (  # noqa: F401 (re-exported surface)
-    Attr, Canvas, Color, FilledPolygon, Geom, Image, Line, PolyLine,
-    SimpleImageViewer, Transform, Viewer, make_capsule, make_circle,
-    make_polygon, make_polyline)
+    Attr, Canvas, Color, Compound, FilledPolygon, Geom, Image, Line,
+    LineStyle, LineWidth, Point, PolyLine, SimpleImageViewer, Transform,
+    Viewer, get_display, make_capsule, make_circle, make_polygon,
+    make_polyline)
 
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
@@ -102,7 +103,8 @@ def reset_render(env):
 
 __all__ = [
     "Viewer", "Transform", "Geom", "FilledPolygon", "PolyLine", "Line",
-    "Image", "SimpleImageViewer", "make_circle", "make_polygon",
+    "Point", "Compound", "LineStyle", "LineWidth", "Image",
+    "SimpleImageViewer", "get_display", "make_circle", "make_polygon",
     "make_polyline", "make_capsule", "render_env", "reset_render",
     "comm_transcript",
 ]

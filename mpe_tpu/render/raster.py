@@ -51,6 +51,36 @@ class Color(Attr):
         self.vec4 = vec4
 
 
+class LineStyle(Attr):
+    """Stipple-pattern attr (rendering.py:201-208): ``style`` is the
+    16-bit GL_LINE_STIPPLE mask; line geoms skip samples whose pattern
+    bit is 0."""
+
+    def __init__(self, style: int):
+        self.style = int(style)
+
+
+class LineWidth(Attr):
+    """Stroke-width attr (rendering.py:210-214): overrides the geom's
+    own linewidth while attached, like glLineWidth state."""
+
+    def __init__(self, stroke: float):
+        self.stroke = float(stroke)
+
+
+def _stroke_attrs(geom, default_width: float):
+    """Effective (width, stipple pattern) for a line geom: the last
+    LineWidth/LineStyle attr wins (GL state semantics — the reference
+    enables attrs in reverse list order, rendering.py:160-166)."""
+    width, pattern = default_width, 0xFFFF
+    for a in geom.attrs:
+        if isinstance(a, LineWidth):
+            width = a.stroke
+        elif isinstance(a, LineStyle):
+            pattern = a.style
+    return width, pattern
+
+
 class Geom:
     """Base drawable (rendering.py:153-174)."""
 
@@ -98,10 +128,11 @@ class PolyLine(Geom):
     def draw(self, canvas):
         pts = self._world_points(self.points)
         n = len(pts)
+        width, pattern = _stroke_attrs(self, self.linewidth)
         rng = range(n) if self.close else range(n - 1)
         for i in rng:
             canvas.line(pts[i], pts[(i + 1) % n], self._color.vec4,
-                        self.linewidth)
+                        width, pattern)
 
 
 class Line(Geom):
@@ -113,7 +144,40 @@ class Line(Geom):
 
     def draw(self, canvas):
         a, b = self._world_points(np.stack([self.start, self.end]))
-        canvas.line(a, b, self._color.vec4, self.linewidth)
+        width, pattern = _stroke_attrs(self, self.linewidth)
+        canvas.line(a, b, self._color.vec4, width, pattern)
+
+
+class Point(Geom):
+    """Single point at the transform origin (rendering.py:216-222)."""
+
+    def draw(self, canvas):
+        (p,) = self._world_points(np.zeros((1, 2)))
+        canvas.point(p, self._color.vec4)
+
+
+class Compound(Geom):
+    """Group geom (rendering.py:269-276): children lose their own Color
+    attrs and take the compound's color; the compound's attrs (e.g. a
+    caller-added Transform) compose outside each child's own."""
+
+    def __init__(self, gs):
+        super().__init__()
+        self.gs = list(gs)
+        for g in self.gs:
+            g.attrs = [a for a in g.attrs if not isinstance(a, Color)]
+            g._color = self._color
+    def draw(self, canvas):
+        for g in self.gs:
+            saved = g.attrs
+            # child transforms apply first, then the compound's — the
+            # reference enables compound attrs around child renders
+            g.attrs = g.attrs + [a for a in self.attrs
+                                 if not isinstance(a, Color)]
+            try:
+                g.draw(canvas)
+            finally:
+                g.attrs = saved
 
 
 class Image(Geom):
@@ -150,14 +214,34 @@ def make_polyline(v):
 
 
 def make_capsule(length: float, width: float):
-    """A box + two end circles approximated as one polygon
-    (rendering.py:253-260)."""
-    r = width / 2
-    ang_r = np.linspace(-np.pi / 2, np.pi / 2, 8)
-    ang_l = np.linspace(np.pi / 2, 3 * np.pi / 2, 8)
-    right = np.stack([length + r * np.cos(ang_r), r * np.sin(ang_r)], -1)
-    left = np.stack([r * np.cos(ang_l), r * np.sin(ang_l)], -1)
-    return FilledPolygon(np.concatenate([right, left]))
+    """Box + two end circles grouped in a Compound — the reference's own
+    construction (rendering.py:253-260)."""
+    l, r, t, b = 0, length, width / 2, -width / 2
+    box = make_polygon([(l, b), (l, t), (r, t), (r, b)])
+    circ0 = make_circle(width / 2)
+    circ1 = make_circle(width / 2)
+    circ1.add_attr(Transform(translation=(length, 0)))
+    return Compound([box, circ0, circ1])
+
+
+def get_display(spec):
+    """Display-spec resolver (rendering.py:32-43): ``None`` -> None, a
+    string like ``':0'`` -> a Display handle (headless placeholder — no
+    window system is driven), anything else -> ValueError."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        class Display:
+            def __init__(self, name):
+                self.name = name
+
+            def __repr__(self):
+                return f"Display({self.name!r})"
+
+        return Display(spec)
+    raise ValueError(
+        f"Invalid display specification: {spec!r}. "
+        "(Must be a string like :0 or None.)")
 
 
 class Canvas:
@@ -211,7 +295,17 @@ class Canvas:
         rows, cols = np.nonzero(inside)
         self._blend(rows + y0, cols + x0, np.ones(len(rows)), color)
 
-    def line(self, a, b, color, width=1.0):
+    def point(self, p, color):
+        """~1.5px dot (Point geom / GL_POINTS equivalent)."""
+        px, py = self.to_px(p)
+        r0, r1 = max(int(py) - 1, 0), min(int(py) + 1, self.height)
+        c0, c1 = max(int(px) - 1, 0), min(int(px) + 1, self.width)
+        if r1 > r0 and c1 > c0:
+            rows, cols = np.mgrid[r0:r1, c0:c1]
+            self._blend(rows.ravel(), cols.ravel(), np.ones(rows.size),
+                        color)
+
+    def line(self, a, b, color, width=1.0, pattern=0xFFFF):
         pa, pb = self.to_px(a), self.to_px(b)
         d = pb - pa
         length = np.hypot(*d)
@@ -219,7 +313,11 @@ class Canvas:
         t = np.linspace(0, 1, n)[:, None]
         pts = pa + t * d
         half = max(width / 2, 0.5)
-        for px, py in pts:
+        for k, (px, py) in enumerate(pts):
+            # GL_LINE_STIPPLE: the 16-bit mask advances one bit per pixel
+            # (two samples per pixel here)
+            if not (pattern >> ((k // 2) % 16)) & 1:
+                continue
             r0, r1 = int(py - half), int(py + half) + 1
             c0, c1 = int(px - half), int(px + half) + 1
             r0, c0 = max(r0, 0), max(c0, 0)

@@ -117,6 +117,87 @@ def test_record_gif(tmp_path):
     assert im.n_frames == 4
 
 
+def test_render_golden_frame_spread():
+    """Pixel-pinned regression for the full render path: camera bounds
+    (±1 around origin, environment.py:247-256), circle tessellation,
+    agent alpha-0.5 compositing (environment.py:230-236), landmark
+    colors. The golden PNG was produced by this exact pipeline; any
+    drift in bounds math, rasterization, or color handling shows up as
+    a pixel diff."""
+    from PIL import Image as PILImage
+
+    env = make_env("simple_spread", seed=0)
+    env.reset()
+    frame = env.render("rgb_array")[0]
+    golden = np.asarray(PILImage.open("tests/golden/spread_frame.png"))
+    assert frame.shape == golden.shape == (700, 700, 3)
+    np.testing.assert_array_equal(frame, golden)
+
+    # alpha compositing invariant: agent center = 0.5*color + 0.5*white
+    pos = np.asarray(env.state.pos)
+    cx = int((pos[0, 0] + 1.0) / 2.0 * 700)
+    cy = int((1.0 - pos[0, 1]) / 2.0 * 700)
+    expect = 0.5 * np.array([0.35, 0.35, 0.85]) * 255 + 0.5 * 255
+    assert np.abs(frame[cy, cx] - expect).max() <= 1.0
+
+
+def test_raster_full_reference_surface():
+    """The five surface pieces the reference has beyond the basic geoms:
+    Point, Compound, LineStyle, LineWidth, get_display
+    (rendering.py:32, 201-279)."""
+    import pytest
+    from mpe_tpu.render import (
+        Compound, Line, LineStyle, LineWidth, Point, Transform, Viewer,
+        get_display, make_capsule, make_circle)
+
+    # get_display: None passthrough, string handle, invalid -> error
+    assert get_display(None) is None
+    assert "0" in repr(get_display(":0"))
+    with pytest.raises(ValueError):
+        get_display(42)
+
+    v = Viewer(64, 64)
+    # Point: a dot at the transform origin
+    pt = Point()
+    pt.set_color(1.0, 0.0, 0.0)
+    pt.add_attr(Transform(translation=(0.5, 0.5)))
+    v.add_geom(pt)
+    frame = v.render(return_rgb_array=True)
+    px = frame[int((1 - 0.5) / 2 * 64), int((0.5 + 1) / 2 * 64)]
+    assert px[0] > 200 and px[1] < 100
+
+    # LineWidth/LineStyle attrs: stippled line lights fewer pixels than
+    # a solid one of the same width
+    def drawn(pattern):
+        vv = Viewer(64, 64)
+        ln = Line((-0.9, 0.0), (0.9, 0.0))
+        ln.add_attr(LineWidth(3.0))
+        if pattern is not None:
+            ln.add_attr(LineStyle(pattern))
+        vv.add_geom(ln)
+        return (vv.render(return_rgb_array=True) < 250).any(-1).sum()
+
+    solid, dashed = drawn(None), drawn(0x00FF)
+    assert 0 < dashed < solid
+
+    # Compound: children take the compound's color (their own is
+    # stripped, rendering.py:271-273) and the compound's transform
+    # composes outside the child's own
+    c0 = make_circle(0.2)
+    c0.set_color(0.0, 1.0, 0.0)          # stripped by Compound
+    comp = Compound([c0])
+    comp.set_color(0.0, 0.0, 1.0)
+    comp.add_attr(Transform(translation=(-0.5, -0.5)))
+    v2 = Viewer(64, 64)
+    v2.add_geom(comp)
+    f2 = v2.render(return_rgb_array=True)
+    center = f2[int((1 + 0.5) / 2 * 64), int((-0.5 + 1) / 2 * 64)]
+    assert center[2] > 200 and center[1] < 100  # blue, not green
+
+    # make_capsule is now the reference's Compound construction
+    assert isinstance(make_capsule(0.4, 0.1), Compound)
+
+
 def test_raster_geometry_coverage():
     """Line/PolyLine/capsule/Image/SimpleImageViewer paths of the raster
     layer (reference rendering.py:243-345 surface)."""
