@@ -65,3 +65,27 @@ def load_checkpoint(path: str, like) -> tuple:
         f"{treedef.num_leaves}")
     payload = jax.tree.unflatten(treedef, leaves)
     return payload, meta["step"], meta["extra"]
+
+
+# ---------------------------------------------------------------------------
+# training-state snapshots (params + optimizer + replay + env states)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, train_state, step: int | None = None,
+                     extra: dict | None = None) -> None:
+    """Snapshot a full training state mid-run. ``train_state`` is any
+    pytree of arrays — e.g. for MADDPG ``{"params": ..., "targets": ...,
+    "opt_states": ..., "buffer": ..., "env_states": ..., "obs": ...}``
+    (optax states and the replay ring are ordinary pytrees), for PPO the
+    ``(params, opt_state)`` tuple. Reloading with ``load_train_state``
+    and continuing with the same keys reproduces the interrupted run
+    bit-identically (tests/test_utils.py kill-and-resume test)."""
+    save_checkpoint(path, train_state, step=step, extra=extra)
+
+
+def load_train_state(path: str, like) -> tuple:
+    """Load a training-state snapshot; ``like`` is a structurally
+    identical template (e.g. a freshly initialized train state).
+    Returns ``(train_state, step, extra)``."""
+    payload, step, extra = load_checkpoint(path, {"state": like})
+    return payload["state"], step, extra

@@ -69,3 +69,102 @@ def test_profiler_trace_smoke(tmp_path):
         state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
         jax.block_until_ready(obs)
     assert any((tmp_path / "tr").rglob("*"))
+
+
+def test_maddpg_kill_and_resume_bit_identical(tmp_path):
+    """Mid-training snapshot of the FULL MADDPG train state — per-agent
+    params, polyak targets, both optimizer states, the on-device replay
+    ring, env states and obs — then resume from disk and verify the
+    continuation produces bit-identical losses and parameters."""
+    import jax.numpy as jnp
+    from mpe_tpu.learner import build_maddpg, init_buffer, init_maddpg
+    from mpe_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn, max_steps=5, auto_reset=True)
+    mw = 2 * env.spec.dim_p + 1
+    params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, mw,
+                         env.n_agents, hidden=16)
+    targets = jax.tree.map(lambda x: x, params)
+    reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
+        env, n_envs=4, capacity=64, batch=8)
+    opt_states = init_opt(params)
+    buffer = init_buffer(64, env.n_agents, scn.obs_width, mw)
+    key = jax.random.PRNGKey(7)
+    states, obs = reset_fn(key)
+
+    def iterate(params, targets, opt_states, buffer, states, obs, it):
+        states, obs, buffer, _ = collect_fn(
+            params, states, obs, buffer, jax.random.fold_in(key, it))
+        params, targets, opt_states, m = update_fn(
+            params, targets, opt_states, buffer,
+            jax.random.fold_in(key, 1000 + it))
+        return params, targets, opt_states, buffer, states, obs, m
+
+    # run 4 iters, snapshot, run 3 more recording metrics
+    for it in range(4):
+        params, targets, opt_states, buffer, states, obs, _ = iterate(
+            params, targets, opt_states, buffer, states, obs, it)
+    train_state = {"params": params, "targets": targets,
+                   "opt_states": opt_states, "buffer": buffer,
+                   "env_states": states, "obs": obs}
+    path = str(tmp_path / "maddpg_state.npz")
+    save_train_state(path, train_state, step=4)
+
+    metrics_a = []
+    for it in range(4, 7):
+        params, targets, opt_states, buffer, states, obs, m = iterate(
+            params, targets, opt_states, buffer, states, obs, it)
+        metrics_a.append({k: float(v) for k, v in m.items()})
+
+    # resume from disk into a template built from scratch
+    params_t = init_maddpg(jax.random.PRNGKey(99), scn.obs_width, mw,
+                           env.n_agents, hidden=16)
+    template = {"params": params_t,
+                "targets": jax.tree.map(lambda x: x, params_t),
+                "opt_states": init_opt(params_t),
+                "buffer": init_buffer(64, env.n_agents, scn.obs_width, mw),
+                "env_states": states, "obs": obs}
+    restored, step, _ = load_train_state(path, template)
+    assert step == 4
+    p2, t2, o2, b2 = (restored["params"], restored["targets"],
+                      restored["opt_states"], restored["buffer"])
+    s2, ob2 = restored["env_states"], restored["obs"]
+    metrics_b = []
+    for it in range(4, 7):
+        p2, t2, o2, b2, s2, ob2, m = iterate(p2, t2, o2, b2, s2, ob2, it)
+        metrics_b.append({k: float(v) for k, v in m.items()})
+
+    assert metrics_a == metrics_b  # bit-identical continuation
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, p2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), buffer, b2)
+
+
+def test_ppo_train_state_resume(tmp_path):
+    """PPO (params, opt_state) snapshot/restore continues identically."""
+    from mpe_tpu.learner import build_ppo_step, init_ac
+    from mpe_tpu.parallel import env_mesh
+    from mpe_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    scn = scenarios.load("simple")
+    env = MpeEnv(scn)
+    mesh = env_mesh()
+    step = build_ppo_step(env, mesh, n_envs=8, n_steps=4, ppo_epochs=1)
+    params = init_ac(jax.random.PRNGKey(0), scn.obs_width, 5, hidden=16)
+    state = step.init_state(params)
+    key = jax.random.PRNGKey(3)
+    state, _ = step(state, jax.random.fold_in(key, 0))
+    path = str(tmp_path / "ppo_state.npz")
+    save_train_state(path, state, step=1)
+    state_a, ma = step(state, jax.random.fold_in(key, 1))
+
+    template = step.init_state(
+        init_ac(jax.random.PRNGKey(42), scn.obs_width, 5, hidden=16))
+    restored, n_iter, _ = load_train_state(path, template)
+    assert n_iter == 1
+    state_b, mb = step(restored, jax.random.fold_in(key, 1))
+    assert float(ma["loss"]) == float(mb["loss"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state_a[0], state_b[0])
