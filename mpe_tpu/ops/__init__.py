@@ -9,7 +9,8 @@ from mpe_tpu.ops.fused_rollout import (
 from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 from mpe_tpu.ops.fused_trajectory import (
     fused_spread_trajectory, fused_trajectory)
-from mpe_tpu.ops.fused_policy import fused_policy_rollout
+from mpe_tpu.ops.fused_policy import (
+    fused_policy_rollout, fused_policy_trajectory)
 
 __all__ = [
     "batched_spread_step",
@@ -20,5 +21,6 @@ __all__ = [
     "fused_spread_trajectory",
     "fused_trajectory",
     "fused_policy_rollout",
+    "fused_policy_trajectory",
     "spread_step_block",
 ]

@@ -214,14 +214,226 @@ def fused_policy_rollout(
     )
 
     @jax.jit
-    def run(seed, params):
-        f32 = jnp.float32
-        w1 = params["l1"]["w"].T.astype(f32)     # [H, OW]
-        b1 = params["l1"]["b"].astype(f32)[:, None]
-        w2 = params["l2"]["w"].T.astype(f32)
-        b2 = params["l2"]["b"].astype(f32)[:, None]
-        w3 = params["out"]["w"].T.astype(f32)    # [5+C, H]
-        b3 = params["out"]["b"].astype(f32)[:, None]
-        return call(jnp.asarray([seed], jnp.int32), w1, b1, w2, b2, w3, b3)
+    def run(seed, params, block_offset=0):
+        seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                           jnp.asarray(block_offset, jnp.int32)])
+        return call(seeds, *_kernel_weights(params))
 
+    run.n_blocks = n_blocks
+    run.block_envs = block_envs
+    return run
+
+
+def _kernel_weights(params):
+    """learner.init_policy pytree -> the kernel's MXU-layout weight
+    inputs (w [out, in] f32, b [out, 1] f32)."""
+    f32 = jnp.float32
+    return (
+        params["l1"]["w"].T.astype(f32), params["l1"]["b"].astype(f32)[:, None],
+        params["l2"]["w"].T.astype(f32), params["l2"]["b"].astype(f32)[:, None],
+        params["out"]["w"].T.astype(f32), params["out"]["b"].astype(f32)[:, None],
+    )
+
+
+def _onehot_index(onehot, f32=jnp.float32):
+    """[A, K, N] one-hots -> [A, N] int32 indices (unrolled weighted
+    sum; exact for 0/1 values)."""
+    k = onehot.shape[1]
+    idx = onehot[:, 1]
+    for r in range(2, k):
+        idx = idx + onehot[:, r] * f32(r)
+    return idx.astype(jnp.int32)
+
+
+def _policy_traj_kernel(
+    seed_ref, w1, b1, w2, b2, w3, b3, *refs,
+    kscn, t_chunk: int, horizon: int, block_envs: int, interpret: bool,
+):
+    """Grid (env blocks, time chunks): policy-in-the-loop rollout that
+    streams the learner batch — (obs the policy acted on, sampled action
+    indices, rewards) — to HBM while world state + current obs persist in
+    VMEM scratch across a block's chunks (same pipeline shape as
+    ops/fused_trajectory._traj_kernel)."""
+    spec = kscn.spec
+    a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
+    n = block_envs
+    f32 = jnp.float32
+    chunk_j = pl.program_id(1)
+    n_goals = len(tuple(kscn.goal_choices or ()))
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+
+    n_outs = 5 if dim_c else 4
+    if dim_c:
+        obs_out, act_out, cact_out, rew_out, lastobs_out = refs[:n_outs]
+    else:
+        obs_out, act_out, rew_out, lastobs_out = refs[:n_outs]
+        cact_out = None
+    scratch = refs[n_outs:]
+    pos_s, vel_s, obs_s, t_s = scratch[:4]
+    goal_s = scratch[4] if n_goals else None
+
+    uniform, seed_hw = make_uniform(
+        seed_ref, interpret, *((chunk_j,) if interpret else ()))
+    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
+    zero = jnp.zeros((), jnp.int32)
+
+    @pl.when(chunk_j == 0)
+    def _init_block():
+        seed_hw()
+        pos0 = sample_state(zero, 0, n)
+        vel0 = jnp.zeros((e, p, n), f32)
+        goal0 = sample_goal(zero, 8, n)
+        comm0 = (jnp.zeros((a, spec.dim_c, n), f32)
+                 if kscn.uses_comm else None)
+        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0)
+        pos_s[:] = pos0
+        vel_s[:] = vel0
+        obs_s[:] = obs0
+        t_s[:] = jnp.zeros((1, n), jnp.int32)
+        if n_goals:
+            goal_s[:] = goal0
+
+    def body(step, _):
+        pos, vel, t, obs = pos_s[:], vel_s[:], t_s[:], obs_s[:]
+        goal = goal_s[:] if n_goals else None
+        move, comm = _policy_sample(
+            kscn, w1[:], b1[:], w2[:], b2[:], w3[:], b3[:], obs, uniform,
+            step)
+        pos, vel = kscn.physics(pos, vel, move)
+        rew, obs_next = kscn.reward_obs(pos, vel, comm, goal)
+        obs_out[pl.ds(step, 1)] = obs[None]
+        act_out[pl.ds(step, 1)] = _onehot_index(move)[None]
+        if cact_out is not None:
+            cact_out[pl.ds(step, 1)] = _onehot_index(comm)[None]
+        rew_out[pl.ds(step, 1)] = rew[None]
+        # per-lane horizon auto-reset (obs recomputed for fresh lanes)
+        t = t + 1
+        done = t >= horizon
+        pos_f = sample_state(step, 3, n)
+        goal_f = sample_goal(step, 24, n)
+        comm_f = jnp.zeros_like(comm) if comm is not None else None
+        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
+                                   goal_f)
+        pos_s[:] = jnp.where(done[None], pos_f, pos)
+        vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
+        obs_s[:] = jnp.where(done[None], obs_f, obs_next)
+        t_s[:] = jnp.where(done, 0, t)
+        if n_goals:
+            goal_s[:] = jnp.where(done, goal_f, goal)
+        return 0
+
+    jax.lax.fori_loop(0, t_chunk, body, 0)
+    lastobs_out[:] = obs_s[:]
+
+
+def fused_policy_trajectory(
+    scenario,
+    params,
+    n_envs: int,
+    n_steps: int,
+    horizon: int = 100,
+    block_envs: int = 1024,
+    t_chunk: int = 8,
+    interpret: bool = False,
+):
+    """Build ``run(seed, params) -> (obs [T, A, OW, N], act [T, A, N]
+    int32, [cact [T, A, N] int32 if the scenario has comm,] rew [R, N]
+    per step as [T, R, N], last_obs [A, OW, N])`` — the on-policy learner
+    batch collected entirely on-chip: obs -> MLP (MXU) -> Gumbel-max
+    sample -> physics -> reward, with only the trajectory leaving VMEM.
+
+    ``obs[t]`` is the observation the policy ACTED on at step t (so
+    ``(obs[t], act[t], rew[t])`` is the standard transition triple and
+    ``last_obs`` bootstraps GAE); action indices are exact (one-hot
+    contraction), and because all lanes start at t=0 and auto-reset on
+    the shared ``horizon``, done flags are the deterministic
+    ``(t + 1) % horizon == 0`` — computed host-side, not emitted.
+    ``params`` is a learner.init_policy-format pytree (only shapes used
+    at build time)."""
+    from mpe_tpu.core.state import ScenarioSpec
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+    from mpe_tpu.ops.kernel_scenarios import (
+        KernelScenario, KernelSpread, kernel_scenario)
+
+    if isinstance(scenario, KernelScenario):
+        kscn = scenario
+    elif isinstance(scenario, ScenarioSpec):
+        kscn = KernelSpread(scenario)
+    else:
+        kscn = kernel_scenario(scenario)
+    spec = kscn.spec
+    block_envs = pick_block_envs(n_envs, block_envs)
+    assert n_steps % t_chunk == 0, (n_steps, t_chunk)
+    n_blocks = n_envs // block_envs
+    n_chunks = n_steps // t_chunk
+    a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    obs_w = kscn.obs_w
+    rr = kscn.reward_rows
+    n_goals = len(tuple(kscn.goal_choices or ()))
+
+    kernel = functools.partial(
+        _policy_traj_kernel, kscn=kscn, t_chunk=t_chunk, horizon=horizon,
+        block_envs=block_envs, interpret=interpret)
+
+    scratch = [
+        pltpu.VMEM((e, p, block_envs), jnp.float32),        # pos
+        pltpu.VMEM((e, p, block_envs), jnp.float32),        # vel
+        pltpu.VMEM((a, obs_w, block_envs), jnp.float32),    # current obs
+        pltpu.VMEM((1, block_envs), jnp.int32),             # per-lane t
+    ]
+    if n_goals:
+        scratch.append(pltpu.VMEM((n_goals, block_envs), jnp.int32))
+
+    out_specs = [
+        pl.BlockSpec((t_chunk, a, obs_w, block_envs),
+                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t_chunk, a, block_envs),
+                     lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, a, n_envs), jnp.int32),
+    ]
+    if dim_c:
+        out_specs.append(
+            pl.BlockSpec((t_chunk, a, block_envs),
+                         lambda i, j: (j, 0, i), memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_steps, a, n_envs), jnp.int32))
+    out_specs += [
+        pl.BlockSpec((t_chunk, rr, block_envs),
+                     lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((a, obs_w, block_envs),
+                     lambda i, j: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((n_steps, rr, n_envs), jnp.float32),
+        jax.ShapeDtypeStruct((a, obs_w, n_envs), jnp.float32),
+    ]
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks, n_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(seed, params, block_offset=0):
+        seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                           jnp.asarray(block_offset, jnp.int32)])
+        return call(seeds, *_kernel_weights(params))
+
+    run.n_blocks = n_blocks
+    run.block_envs = block_envs
+    run.has_comm = bool(dim_c)
     return run

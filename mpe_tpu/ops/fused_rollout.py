@@ -208,12 +208,21 @@ def make_uniform(seed_ref, interpret: bool, *extra_salts):
     be called once (hardware path) before the first draw — directly, or
     under ``pl.when`` for grid kernels that seed only on a block's first
     chunk. Hardware path: seeds the per-core PRNG with multiplicatively
-    mixed (seed, block, *extra) so consecutive seeds and neighboring
-    blocks never share a stream (an additive ``seed + block`` scheme
-    would make block b of seed s identical to block b-1 of seed s+1).
-    Interpret path: stateless hash salted by the same terms plus
-    (step, call_id); ``seed_hw`` is a no-op."""
-    mixed = seed_ref[0] * jnp.int32(7919) + pl.program_id(0) * jnp.int32(104729)
+    mixed (seed, global block, *extra) so consecutive seeds and
+    neighboring blocks never share a stream (an additive ``seed + block``
+    scheme would make block b of seed s identical to block b-1 of seed
+    s+1; 7919 and 104729 are coprime, so the first (seed, block) stream
+    collision needs a seed delta of 104729). Interpret path: stateless
+    hash salted by the same terms plus (step, call_id); ``seed_hw`` is a
+    no-op.
+
+    ``seed_ref`` is ``[seed, block_offset]``: the GLOBAL block id is
+    ``program_id(0) + block_offset``, so a device running blocks
+    [d*B, (d+1)*B) of a sharded rollout draws the exact streams the
+    single-device run draws for those blocks — results are invariant to
+    how the env axis is sharded (see ``sharded_fused_rollout``)."""
+    mixed = (seed_ref[0] * jnp.int32(7919)
+             + (pl.program_id(0) + seed_ref[1]) * jnp.int32(104729))
     for i, s in enumerate(extra_salts):
         mixed = mixed + s * jnp.int32(15485863 + 2 * i)
     if interpret:
@@ -420,9 +429,12 @@ def fused_rollout(
     )
 
     @jax.jit
-    def run(seed):
-        return call(jnp.asarray([seed], jnp.int32))
+    def run(seed, block_offset=0):
+        return call(jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(block_offset, jnp.int32)]))
 
+    run.n_blocks = n_blocks
+    run.block_envs = block_envs
     return run
 
 
@@ -438,10 +450,16 @@ def sharded_fused_rollout(
 ):
     """Multi-device fused rollout: the Pallas kernel runs per-device under
     ``shard_map`` with the env axis sharded over the mesh; each device
-    fuses its local blocks and folds its mesh position into the PRNG seed.
-    Envs never communicate, so the program stays collective-free — this
-    is the fused engine's scale-out path (same sharding model as
-    mpe_tpu.parallel.sharded_rollout)."""
+    fuses its local blocks. Envs never communicate, so the program stays
+    collective-free — this is the fused engine's scale-out path (same
+    sharding model as mpe_tpu.parallel.sharded_rollout).
+
+    Device d passes block offset ``d * local_n_blocks`` into the kernel's
+    (seed, global block) PRNG mixing, so every lane draws the exact
+    stream it would draw in a single-device run of the same total env
+    count and block size: **sharded == single-fused per lane** (asserted
+    by tests/test_fused.py), and results are reproducible across any
+    device count."""
     from functools import partial
 
     from jax import shard_map
@@ -453,9 +471,11 @@ def sharded_fused_rollout(
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0, (n_envs, n_dev)
     local_envs = n_envs // n_dev
-    local_blocks = pick_block_envs(local_envs, block_envs)
+    local_block_envs = pick_block_envs(local_envs, block_envs)
     local_run = fused_rollout(scenario, local_envs, n_steps, horizon=horizon,
-                              block_envs=local_blocks, interpret=interpret)
+                              block_envs=local_block_envs,
+                              interpret=interpret)
+    local_n_blocks = local_envs // local_block_envs
 
     # env-minor outputs: env axis is last on every leaf
     out_spec = P(*([None] * 2), axis_name)
@@ -467,6 +487,7 @@ def sharded_fused_rollout(
              check_vma=False)
     def run(seed):
         my = jax.lax.axis_index(axis_name)
-        return local_run(seed + my * jnp.int32(65537))
+        return local_run(seed, my * jnp.int32(local_n_blocks))
 
+    run.block_envs = local_block_envs
     return run

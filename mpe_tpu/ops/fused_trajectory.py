@@ -171,9 +171,12 @@ def fused_trajectory(
     )
 
     @jax.jit
-    def run(seed):
-        return call(jnp.asarray([seed], jnp.int32))
+    def run(seed, block_offset=0):
+        return call(jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(block_offset, jnp.int32)]))
 
+    run.n_blocks = n_blocks
+    run.block_envs = block_envs
     return run
 
 

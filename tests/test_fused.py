@@ -240,6 +240,38 @@ def test_sharded_fused_rollout_8dev_mesh():
     assert (p[..., :128] != p[..., 128:256]).any()
 
 
+def test_sharded_fused_equals_single_fused():
+    """Per-lane equality: the sharded fused engine (8 virtual devices,
+    block offset folded per device) reproduces the single-device fused
+    engine exactly for the same total envs, seed and block size —
+    results are invariant to how the env axis is sharded."""
+    from mpe_tpu.ops.fused_rollout import fused_rollout, sharded_fused_rollout
+
+    for name in ("simple_spread", "simple_adversary"):
+        single = fused_rollout(name, n_envs=1024, n_steps=6, horizon=4,
+                               block_envs=128, interpret=True)
+        sharded = sharded_fused_rollout(name, n_envs=1024, n_steps=6,
+                                        horizon=4, block_envs=128,
+                                        interpret=True)
+        assert sharded.block_envs == single.block_envs == 128
+        for lbl, a, b in zip(("pos", "vel", "rew", "ocs"),
+                             single(5), sharded(5)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name}:{lbl}")
+
+
+def test_seed_block_stream_mixing_no_aliasing():
+    """(seed, global block) -> mixed stream id is collision-free over a
+    practical grid: the multiplicative mixing (7919, 104729 coprime)
+    admits its first collision only at a seed delta of 104729."""
+    seen = {}
+    for s in range(256):
+        for gb in range(256):
+            mixed = (s * 7919 + gb * 104729) & 0xFFFFFFFF  # int32 wrap
+            assert mixed not in seen, (s, gb, seen[mixed])
+            seen[mixed] = (s, gb)
+
+
 def test_generic_fused_trajectory_interpret():
     from mpe_tpu.ops.fused_trajectory import fused_trajectory
 

@@ -76,6 +76,17 @@ def main():
               kr, pr, n_envs=ne, n_steps=min(ns, 200), horizon=100,
               block_envs=1024)(0, pr))
 
+    from mpe_tpu.ops.fused_policy import fused_policy_trajectory
+
+    check("fused_policy_trajectory[simple_spread]",
+          lambda: fused_policy_trajectory(
+              k, params, n_envs=ne, n_steps=min(ns, 64), horizon=25,
+              block_envs=1024, t_chunk=8)(0, params))
+    check("fused_policy_trajectory[simple_reference]",
+          lambda: fused_policy_trajectory(
+              kr, pr, n_envs=ne, n_steps=min(ns, 64), horizon=25,
+              block_envs=1024, t_chunk=8)(0, pr))
+
     if failures:
         print(f"FAILED: {failures}", flush=True)
         sys.exit(1)
