@@ -35,10 +35,10 @@ def greedy_eval(scn, algo, params, n_envs=128, n_steps=25, seed=123):
         if algo == "maddpg":
             from mpe_tpu.learner.maddpg import actor_logits_i
             return jax.vmap(actor_logits_i)(params["actor"], obs)
-        if algo == "mappo":
+        if algo in ("mappo", "fused_mappo"):
             from mpe_tpu.learner.ppo import actor_logits
             return actor_logits(params, obs)
-        if algo == "ppo":
+        if algo in ("ppo", "fused_ppo"):
             from mpe_tpu.learner.ppo import policy_value
             return policy_value(params, obs)[0]
         from mpe_tpu.learner.pg import policy_logits
@@ -70,7 +70,8 @@ def main():
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--algo", default="reinforce",
-                    choices=["reinforce", "ppo", "mappo", "maddpg"])
+                    choices=["reinforce", "ppo", "mappo", "maddpg",
+                             "fused_ppo", "fused_mappo"])
     ap.add_argument("--platform", default=None)
     ap.add_argument("--save", default=None, metavar="PATH",
                     help="checkpoint trained params (npz) at the end")
@@ -128,6 +129,28 @@ def main():
             if it % 500 == 0 or it == args.iters - 1:
                 print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
                       f"q {float(m['q']):+.2f}")
+    elif args.algo in ("fused_ppo", "fused_mappo"):
+        # rollout collection inside the Pallas kernel (learner/fused_ppo)
+        from mpe_tpu.learner import (build_fused_mappo_step,
+                                     build_fused_ppo_step)
+
+        build = (build_fused_mappo_step if args.algo == "fused_mappo"
+                 else build_fused_ppo_step)
+        n_steps = args.n_steps
+        t_chunk = next(c for c in (8, 5, 4, 2, 1) if n_steps % c == 0)
+        step = build(args.scenario, mesh,
+                     n_envs=max(n_envs, mesh.devices.size),
+                     n_steps=n_steps, horizon=25, t_chunk=t_chunk,
+                     lr=args.lr, anneal_iters=args.iters,
+                     interpret=jax.default_backend() == "cpu")
+        state = step.init_state(step.init_params(jax.random.PRNGKey(0)))
+        for it in range(args.iters):
+            state, m = step(state, it)
+            if it % 10 == 0 or it == args.iters - 1:
+                print(f"iter {it:4d}  reward/step "
+                      f"{float(m['mean_reward']):+.3f}"
+                      f"  entropy {float(m['entropy']):.3f}")
+        params = state[0]
     elif args.algo in ("ppo", "mappo"):
         if args.algo == "mappo":
             from mpe_tpu.learner import build_mappo_step, init_mappo

@@ -53,37 +53,72 @@ def _resolve(scenario) -> KernelScenario:
             else kernel_scenario(scenario))
 
 
-def _torso_minor(l1, l2, obs):
-    """Env-minor MLP torso: obs [..., OW, N] -> h [..., H, N]."""
-    h = jnp.tanh(jnp.einsum("...on,oh->...hn", obs, l1["w"])
+def _resolve_dtype(compute_dtype, mesh: Mesh):
+    """None -> bf16 on TPU meshes, f32 elsewhere (CPU XLA has no
+    bf16 x bf16 = f32 dot)."""
+    if compute_dtype is not None:
+        return compute_dtype
+    return (jnp.bfloat16 if mesh.devices.flat[0].platform == "tpu"
+            else jnp.float32)
+
+
+def _torso_minor(l1, l2, obs, dt=jnp.float32):
+    """Env-minor MLP torso: obs [..., OW, N] -> h [..., H, N]. ``dt`` is
+    the matmul compute dtype (bf16 doubles MXU throughput; accumulation
+    stays f32 via preferred_element_type — or f64 for exactness tests —
+    master params stay f32)."""
+    acc = jnp.float64 if obs.dtype == jnp.float64 else jnp.float32
+    h = jnp.tanh(jnp.einsum("...on,oh->...hn", obs.astype(dt),
+                            l1["w"].astype(dt),
+                            preferred_element_type=acc)
                  + l1["b"][:, None])
-    return jnp.tanh(jnp.einsum("...hn,hg->...gn", h, l2["w"])
+    return jnp.tanh(jnp.einsum("...hn,hg->...gn", h.astype(dt),
+                               l2["w"].astype(dt),
+                               preferred_element_type=acc)
                     + l2["b"][:, None])
 
 
-def _head_minor(head, h):
-    """h [..., H, N] -> [..., K, N]."""
-    return (jnp.einsum("...gn,gk->...kn", h, head["w"])
-            + head["b"][:, None]).astype(jnp.float32)
+def _head_minor(head, h, dt=jnp.float32):
+    """h [..., H, N] -> [..., K, N] (f32 out; f64 stays f64)."""
+    out = jnp.float64 if h.dtype == jnp.float64 else jnp.float32
+    return (jnp.einsum("...gn,gk->...kn", h.astype(dt),
+                       head["w"].astype(dt),
+                       preferred_element_type=out)
+            + head["b"][:, None]).astype(out)
 
 
-def _factored_logp_ent(kscn, logits, act, cact):
-    """Env-minor factored categorical: logits [..., A, 5+C, N], indices
-    [..., A, N] -> (logp, entropy) [..., A, N], comm factor masked for
-    silent agents."""
+def _factored_onehots(kscn, act, cact):
+    """Index tensors [..., A, N] -> (move one-hot [..., A, 5, N], comm
+    one-hot [..., A, C, N] | None). Built ONCE per batch: the loss then
+    reads log-probs by one-hot contraction — a per-lane
+    ``take_along_axis`` gather here measured 5x slower on TPU (the same
+    gather-vs-one-hot trap as the XLA path's goal selects, PERF.md)."""
+    spec = kscn.spec
+    mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    mv = jax.nn.one_hot(act, mw, dtype=jnp.float32, axis=-2)
+    cm = (jax.nn.one_hot(cact, dim_c, dtype=jnp.float32, axis=-2)
+          if dim_c else None)
+    return mv, cm
+
+
+def _factored_logp_ent(kscn, logits, mv_oh, cm_oh):
+    """Env-minor factored categorical: logits [..., A, 5+C, N], one-hot
+    actions (from ``_factored_onehots``) -> (logp, entropy) [..., A, N],
+    comm factor masked for silent agents."""
     spec = kscn.spec
     mw = 2 * spec.dim_p + 1
     dim_c = spec.dim_c if kscn.uses_comm else 0
 
-    def one(lg, idx):
+    def one(lg, oh):
         ls = jax.nn.log_softmax(lg, axis=-2)
-        lp = jnp.take_along_axis(ls, idx[..., None, :], axis=-2)[..., 0, :]
+        lp = jnp.sum(ls * oh, axis=-2)
         ent = -jnp.sum(jax.nn.softmax(lg, axis=-2) * ls, axis=-2)
         return lp, ent
 
-    lp, ent = one(logits[..., :mw, :], act)
+    lp, ent = one(logits[..., :mw, :], mv_oh)
     if dim_c:
-        clp, cent = one(logits[..., mw:, :], cact)
+        clp, cent = one(logits[..., mw:, :], cm_oh)
         a = spec.n_agents
         speak = jnp.asarray(
             [0.0 if spec.silent[i] else 1.0 for i in range(a)],
@@ -140,6 +175,8 @@ def build_fused_ppo_step(
     t_chunk: int = 8,
     interpret: bool = False,
     axis_name: str = "env",
+    compute_dtype=None,
+    fused_update: bool = True,
 ):
     """Jitted data-parallel PPO iteration on the fused engine:
     ``ppo_step(train_state, seed) -> (train_state, metrics)`` where
@@ -149,8 +186,25 @@ def build_fused_ppo_step(
     per-iteration PRNG seed for the kernel.
 
     Parameter-shared actor-critic: the kernel runs the actor (torso +
-    pi head); the value head reads the same torso outside."""
+    pi head); the value head reads the same torso outside.
+
+    ``compute_dtype`` is the update's matmul dtype (master params,
+    accumulation, logits, and the surrogate all stay f32). bf16 is the
+    default — it halves MXU time, and rollout-time log-probs/values are
+    recomputed with the SAME forward, so the epoch-0 ratio is exactly 1
+    regardless of dtype; pass ``jnp.float32`` for bitwise-conservative
+    runs.
+
+    ``fused_update=True`` (default) computes each epoch's gradient with
+    the single-kernel forward+backward of ops/fused_update (activations
+    never leave VMEM — the XLA epoch spills both hidden layers to HBM);
+    its hand-derived gradient is pinned to ``jax.grad`` of the identical
+    loss by tests/test_fused_update.py. ``False`` keeps the XLA
+    ``jax.value_and_grad`` epoch."""
+    from mpe_tpu.ops.fused_update import fused_ppo_update
+
     kscn = _resolve(scenario)
+    compute_dtype = _resolve_dtype(compute_dtype, mesh)
     spec = kscn.spec
     a = spec.n_agents
     mw = 2 * spec.dim_p + 1
@@ -174,18 +228,25 @@ def build_fused_ppo_step(
 
     nonterm_t = 1.0 - (jnp.arange(1, n_steps + 1) % horizon == 0).astype(
         jnp.float32)
+    kernel_update = (
+        fused_ppo_update(kscn, local_envs, n_steps, hidden, clip=clip,
+                         vf_coef=vf_coef, ent_coef=ent_coef,
+                         block_envs=block_envs, t_chunk=t_chunk,
+                         interpret=interpret,
+                         compute_dtype=compute_dtype)
+        if fused_update else None)
 
     def forward(params, obs):
         """obs [..., A, OW, N] -> (logits [..., A, K, N], value
         [..., A, N])."""
-        h = _torso_minor(params["l1"], params["l2"], obs)
-        return _head_minor(params["pi"], h), _head_minor(
-            params["v"], h)[..., 0, :]
+        h = _torso_minor(params["l1"], params["l2"], obs, compute_dtype)
+        return (_head_minor(params["pi"], h, compute_dtype),
+                _head_minor(params["v"], h, compute_dtype)[..., 0, :])
 
     def loss_fn(params, batch):
-        obs, act, cact, logp_old, value_old, adv, ret = batch
+        obs, mv_oh, cm_oh, logp_old, value_old, adv, ret = batch
         logits, value = forward(params, obs)
-        logp, ent = _factored_logp_ent(kscn, logits, act, cact)
+        logp, ent = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         ratio = jnp.exp(logp - logp_old)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg = -jnp.minimum(
@@ -207,23 +268,41 @@ def build_fused_ppo_step(
             obs, act, rew, last_obs = outs
             cact = act  # unused by the loss when dim_c == 0
         rew_a = _agent_rewards(kscn, rew)
+        mv_oh, cm_oh = _factored_onehots(kscn, act, cact)
         logits, value = forward(params, obs)
-        logp_old, _ = _factored_logp_ent(kscn, logits, act, cact)
+        logp_old, _ = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         logp_old = jax.lax.stop_gradient(logp_old)
         value = jax.lax.stop_gradient(value)
         _, last_value = forward(params, last_obs)
         adv, ret = _gae_minor(value, rew_a, nonterm_t,
                               jax.lax.stop_gradient(last_value), gamma, lam)
-        batch = (obs, act, cact, logp_old, value, adv, ret)
+        batch = (obs, mv_oh, cm_oh, logp_old, value, adv, ret)
 
-        def epoch(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, *aux)
+        if fused_update:
+            # adv normalization hoisted out of the loss: adv is constant
+            # across epochs (identical values to the in-loss form)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                grads, (pg, vl, ent) = kernel_update(
+                    params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
+                    value)
+                loss = pg + vf_coef * vl - ent_coef * ent
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, pg, vl, ent)
+        else:
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
 
         (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
             epoch, (params, opt_state), jnp.arange(ppo_epochs))
@@ -270,6 +349,7 @@ def build_fused_mappo_step(
     t_chunk: int = 8,
     interpret: bool = False,
     axis_name: str = "env",
+    compute_dtype=None,
 ):
     """Jitted data-parallel MAPPO iteration on the fused engine (same
     contract as ``build_fused_ppo_step``; params in
@@ -277,6 +357,7 @@ def build_fused_mappo_step(
     kernel; the centralized critic reads the joint observation outside.
     Intended for collaborative scenarios (shared team reward)."""
     kscn = _resolve(scenario)
+    compute_dtype = _resolve_dtype(compute_dtype, mesh)
     spec = kscn.spec
     a = spec.n_agents
     mw = 2 * spec.dim_p + 1
@@ -302,25 +383,25 @@ def build_fused_mappo_step(
         jnp.float32)
 
     def actor_logits(params, obs):
-        h = _torso_minor(params["a1"], params["a2"], obs)
-        return _head_minor(params["pi"], h)
+        h = _torso_minor(params["a1"], params["a2"], obs, compute_dtype)
+        return _head_minor(params["pi"], h, compute_dtype)
 
     def central_value(params, obs):
         """obs [..., A, OW, N] -> joint-state value [..., N]."""
         joint = obs.reshape(obs.shape[:-3] + (a * kscn.obs_w,)
                             + obs.shape[-1:])
-        h = _torso_minor(params["c1"], params["c2"], joint)
-        return _head_minor(params["v"], h)[..., 0, :]
+        h = _torso_minor(params["c1"], params["c2"], joint, compute_dtype)
+        return _head_minor(params["v"], h, compute_dtype)[..., 0, :]
 
     def team_reward(rew):
         rew_a = _agent_rewards(kscn, rew)
         return rew_a.mean(axis=-2)
 
     def loss_fn(params, batch):
-        obs, act, cact, logp_old, value_old, adv, ret = batch
+        obs, mv_oh, cm_oh, logp_old, value_old, adv, ret = batch
         logits = actor_logits(params, obs)
         value = central_value(params, obs)
-        logp, ent = _factored_logp_ent(kscn, logits, act, cact)
+        logp, ent = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         ratio = jnp.exp(logp - logp_old)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         adv_b = adv_n[..., None, :]        # same team adv per agent
@@ -342,14 +423,15 @@ def build_fused_mappo_step(
         else:
             obs, act, rew, last_obs = outs
             cact = act
+        mv_oh, cm_oh = _factored_onehots(kscn, act, cact)
         logits = actor_logits(params, obs)
-        logp_old, _ = _factored_logp_ent(kscn, logits, act, cact)
+        logp_old, _ = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         logp_old = jax.lax.stop_gradient(logp_old)
         value = jax.lax.stop_gradient(central_value(params, obs))
         last_value = jax.lax.stop_gradient(central_value(params, last_obs))
         adv, ret = _gae_minor(value, team_reward(rew), nonterm_t,
                               last_value, gamma, lam)
-        batch = (obs, act, cact, logp_old, value, adv, ret)
+        batch = (obs, mv_oh, cm_oh, logp_old, value, adv, ret)
 
         def epoch(carry, _):
             params, opt_state = carry

@@ -1,0 +1,295 @@
+"""Fused PPO update: the clipped-surrogate gradient in ONE Pallas
+kernel — forward MLP, loss backward, and weight-gradient accumulation
+without activations ever touching HBM.
+
+Why: the PPO update dominates end-to-end training time (PERF.md). The
+XLA epoch materializes both hidden layers to HBM ([T, A, H, N] f32 is
+~200 MB each at the bench config) for the backward pass — measured ~3x
+above the HBM roofline. This kernel streams the batch through VMEM
+tiles instead: per grid step it loads an (obs, actions, logp_old, adv,
+ret, v_old) chunk, runs forward on the MXU (agents lane-concatenated,
+one matmul per layer — same shape as ops/fused_policy), computes the
+clipped-surrogate/value/entropy gradient at the logits analytically,
+backpropagates through the two tanh layers, and accumulates weight
+gradients in revisited output blocks (the TPU grid is sequential, so
+``+=`` into a constant-index output block is race-free). HBM traffic
+per epoch = the batch read once + O(params) out.
+
+The gradient is hand-derived (Pallas has no autodiff) and pinned to
+``jax.grad`` of the identical XLA loss by tests/test_fused_update.py:
+
+  d pg / d logits   = -(adv * ratio) * [r*adv <= clip(r)*adv] * (oh - p) / B
+  d (-ent_coef H)   =  ent_coef * p * (ls + H) / B
+  d vf vloss / d v  =  vf_coef * 2 (v - ret) * [(v-ret)^2 >= (vc-ret)^2] / B
+
+(the indicator forms match jax's min/max adjoints everywhere except
+measure-zero ties; comm factors are masked per-agent for silent agents
+exactly as learner.fused_ppo._factored_logp_ent).
+
+Matmuls run in ``compute_dtype`` (bf16 on TPU) with f32 accumulation
+via ``preferred_element_type`` — the same contract as the XLA path in
+learner/fused_ppo.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+
+
+def _acc_dtype(cd):
+    """Accumulation dtype: f32, widened to f64 for exactness tests."""
+    return jnp.float64 if cd == jnp.float64 else f32
+
+
+def _dot(a, b, cd):
+    """[M, K] @ [K, N] with compute dtype ``cd``, f32 accumulation."""
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=_acc_dtype(cd))
+
+
+def _dot_nt(a, b, cd):
+    """a [K, M], b [H, M] -> a @ b.T [K, H] (contraction over lanes)."""
+    return jax.lax.dot_general(
+        a.astype(cd), b.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=_acc_dtype(cd))
+
+
+def _softmax_rows(z):
+    """Softmax over axis 0 of [K, M]: (p, logp, entropy [1, M])."""
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    s = jnp.sum(e, axis=0, keepdims=True)
+    ls = (z - m) - jnp.log(s)
+    p = e / s
+    ent = -jnp.sum(p * ls, axis=0, keepdims=True)
+    return p, ls, ent
+
+
+def _update_kernel(
+    obs_ref, mvoh_ref, cmoh_ref, lpo_ref, adv_ref, ret_ref, vold_ref,
+    w1, b1, w2, b2, w3, b3, w2t, w3t,
+    dw1, db1, dw2, db2, dw3, db3, msum,
+    *, spec, uses_comm: bool, t_chunk: int, block_envs: int,
+    clip: float, vf_coef: float, ent_coef: float, inv_b: float, cd,
+):
+    a = spec.n_agents
+    mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if uses_comm else 0
+    ko = mw + dim_c + 1
+    nb = block_envs
+    m = a * nb
+
+    at = _acc_dtype(cd)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        for ref in (dw1, db1, dw2, db2, dw3, db3, msum):
+            ref[:] = jnp.zeros_like(ref)
+
+    # silent agents contribute no comm factor (lane-concat layout)
+    if dim_c:
+        speak = jnp.concatenate(
+            [jnp.full((1, nb), 0.0 if spec.silent[i] else 1.0, at)
+             for i in range(a)], axis=1)
+
+    def cat_lanes(ref, t):
+        """Block ref [t_chunk, A, R, nb] -> [R, A*nb]. Each agent's tile
+        is loaded straight from the ref: slicing an already-loaded
+        [A, nb] vector leaves the rows at sublane offsets 1..A-1, and
+        Mosaic refuses to lane-concat vectors with mismatched sublane
+        offsets ("result/input offset mismatch on non-concat
+        dimension") — fresh loads all sit at offset 0."""
+        return jnp.concatenate([ref[t, i] for i in range(a)], axis=-1)
+
+    def cat_rows(ref, t):                   # [t_chunk, A, nb] -> [1, A*nb]
+        return jnp.concatenate([ref[t, i : i + 1] for i in range(a)],
+                               axis=-1)
+
+    acc = [jnp.zeros_like(dw1[:]), jnp.zeros_like(db1[:]),
+           jnp.zeros_like(dw2[:]), jnp.zeros_like(db2[:]),
+           jnp.zeros_like(dw3[:]), jnp.zeros_like(db3[:]),
+           jnp.zeros_like(msum[:])]
+
+    for t in range(t_chunk):
+        x = cat_lanes(obs_ref, t)           # [OW, A*nb]
+        mvoh = cat_lanes(mvoh_ref, t)       # [mw, A*nb]
+        lpo = cat_rows(lpo_ref, t)          # [1, A*nb]
+        adv = cat_rows(adv_ref, t)
+        ret = cat_rows(ret_ref, t)
+        vold = cat_rows(vold_ref, t)
+
+        h1 = jnp.tanh(_dot(w1[:], x, cd) + b1[:])
+        h2 = jnp.tanh(_dot(w2[:], h1, cd) + b2[:])
+        z = _dot(w3[:], h2, cd) + b3[:]     # [KO, A*nb]
+
+        p, ls, ent_m = _softmax_rows(z[:mw])
+        lp = jnp.sum(ls * mvoh, axis=0, keepdims=True)
+        ent = ent_m
+        if dim_c:
+            cmoh = cat_lanes(cmoh_ref, t)
+            pc, lsc, ent_c = _softmax_rows(z[mw : mw + dim_c])
+            lp = lp + jnp.sum(lsc * cmoh, axis=0, keepdims=True) * speak
+            ent = ent_m + ent_c * speak
+        v = z[ko - 1 : ko]                  # [1, A*nb]
+
+        ratio = jnp.exp(lp - lpo)
+        rc = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+        s1 = ratio * adv
+        s2 = rc * adv
+        unclipped = (s1 <= s2).astype(at)
+        cpg = -(adv * ratio) * unclipped * inv_b      # d pg / d lp
+
+        vc = vold + jnp.clip(v - vold, -clip, clip)
+        dv_live = (jnp.square(v - ret)
+                   >= jnp.square(vc - ret)).astype(at)
+        gv = (vf_coef * 2.0 * inv_b) * (v - ret) * dv_live
+
+        # entropy grads use each HEAD's own entropy (the factors are
+        # independent: dH_total/dz_move = dH_move/dz_move)
+        gpi = cpg * (mvoh - p) + (ent_coef * inv_b) * p * (ls + ent_m)
+        parts = [gpi]
+        if dim_c:
+            gc = (cpg * (cmoh - pc)
+                  + (ent_coef * inv_b) * pc * (lsc + ent_c)) * speak
+            parts.append(gc)
+        parts.append(gv)
+        g3 = jnp.concatenate(parts, axis=0)          # [KO, A*nb]
+
+        gh2 = _dot(w3t[:], g3, cd) * (1.0 - jnp.square(h2))
+        gh1 = _dot(w2t[:], gh2, cd) * (1.0 - jnp.square(h1))
+
+        acc[0] = acc[0] + _dot_nt(gh1, x, cd)        # dw1 [H, OW]
+        acc[1] = acc[1] + jnp.sum(gh1, axis=1, keepdims=True)
+        acc[2] = acc[2] + _dot_nt(gh2, h1, cd)
+        acc[3] = acc[3] + jnp.sum(gh2, axis=1, keepdims=True)
+        acc[4] = acc[4] + _dot_nt(g3, h2, cd)
+        acc[5] = acc[5] + jnp.sum(g3, axis=1, keepdims=True)
+
+        # metric sums: pg, vloss, entropy (means composed outside)
+        pg_s = jnp.sum(-jnp.minimum(s1, s2), axis=1, keepdims=True)
+        vl_s = jnp.sum(jnp.maximum(jnp.square(v - ret),
+                                   jnp.square(vc - ret)),
+                       axis=1, keepdims=True)
+        ent_s = jnp.sum(ent, axis=1, keepdims=True)
+        acc[6] = acc[6] + jnp.concatenate(
+            [pg_s, vl_s, ent_s, jnp.zeros((1, 1), at)], axis=0)
+
+    for ref, val in zip((dw1, db1, dw2, db2, dw3, db3, msum), acc):
+        ref[:] = ref[:] + val
+
+
+def fused_ppo_update(
+    kscn,
+    n_envs: int,
+    n_steps: int,
+    hidden: int,
+    clip: float = 0.2,
+    vf_coef: float = 0.5,
+    ent_coef: float = 0.01,
+    block_envs: int = 1024,
+    t_chunk: int = 8,
+    interpret: bool = False,
+    compute_dtype=f32,
+):
+    """Build ``update(params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
+    v_old) -> (grads, (pg, vloss, ent))`` for the shared-torso
+    actor-critic of learner.ppo.init_ac. ``grads`` comes back in the
+    same pytree layout as ``jax.grad`` of learner.fused_ppo's loss_fn
+    (means over the local [T, A, N] batch; ``adv_n`` must already be
+    normalized). Tensors are env-minor exactly as emitted by
+    ops/fused_policy.fused_policy_trajectory."""
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario, KernelScenario
+
+    kscn = kscn if isinstance(kscn, KernelScenario) else kernel_scenario(kscn)
+    spec = kscn.spec
+    a = spec.n_agents
+    mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    ko = mw + dim_c + 1
+    ow = kscn.obs_w
+    h = hidden
+    block_envs = pick_block_envs(n_envs, block_envs)
+    assert n_steps % t_chunk == 0, (n_steps, t_chunk)
+    n_blocks = n_envs // block_envs
+    n_chunks = n_steps // t_chunk
+    inv_b = 1.0 / float(n_steps * a * n_envs)
+
+    kernel = functools.partial(
+        _update_kernel, spec=spec, uses_comm=kscn.uses_comm,
+        t_chunk=t_chunk, block_envs=block_envs, clip=clip,
+        vf_coef=vf_coef, ent_coef=ent_coef, inv_b=inv_b,
+        cd=compute_dtype)
+
+    def batch_spec(*row):                    # [T, ..., N] chunked blocks
+        nd = len(row)
+        return pl.BlockSpec(
+            (t_chunk, *row, block_envs),
+            lambda i, j, nd=nd: (j, *([0] * nd), i),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        batch_spec(a, ow),                   # obs
+        batch_spec(a, mw),                   # move one-hot
+    ]
+    if dim_c:
+        in_specs.append(batch_spec(a, dim_c))
+    else:
+        in_specs.append(batch_spec(a))       # placeholder (= act rows)
+    in_specs += [batch_spec(a)] * 4          # lpo, adv, ret, vold
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8   # weights
+
+    whole = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple([0] * len(shape)),
+        memory_space=pltpu.VMEM)
+    out_specs = (whole((h, ow)), whole((h, 1)), whole((h, h)),
+                 whole((h, 1)), whole((ko, h)), whole((ko, 1)),
+                 whole((4, 1)))
+    acc_t = _acc_dtype(compute_dtype)
+    out_shapes = tuple(jax.ShapeDtypeStruct(s.block_shape, acc_t)
+                       for s in out_specs)
+
+    grid_spec = pl.GridSpec(grid=(n_blocks, n_chunks),
+                            in_specs=tuple(in_specs),
+                            out_specs=out_specs)
+    call = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=out_shapes, interpret=interpret)
+
+    @jax.jit
+    def update(params, obs, mv_oh, cm_oh, logp_old, adv_n, ret, v_old):
+        w1 = params["l1"]["w"].T.astype(acc_t)
+        b1 = params["l1"]["b"].astype(acc_t)[:, None]
+        w2 = params["l2"]["w"].T.astype(acc_t)
+        b2 = params["l2"]["b"].astype(acc_t)[:, None]
+        w3 = jnp.concatenate(
+            [params["pi"]["w"].T, params["v"]["w"].T],
+            axis=0).astype(acc_t)
+        b3 = jnp.concatenate(
+            [params["pi"]["b"], params["v"]["b"]], axis=0).astype(
+                acc_t)[:, None]
+        if cm_oh is None:
+            cm_oh = jnp.zeros(mv_oh.shape[:2] + mv_oh.shape[3:], acc_t)
+        dw1, db1, dw2, db2, dw3, db3, msum = call(
+            obs, mv_oh, cm_oh, logp_old, adv_n, ret, v_old,
+            w1, b1, w2, b2, w3, b3, w2.T, w3.T)
+        grads = {
+            "l1": {"w": dw1.T, "b": db1[:, 0]},
+            "l2": {"w": dw2.T, "b": db2[:, 0]},
+            "pi": {"w": dw3[: ko - 1].T, "b": db3[: ko - 1, 0]},
+            "v": {"w": dw3[ko - 1 :].T, "b": db3[ko - 1 :, 0]},
+        }
+        pg = msum[0, 0] * inv_b
+        vl = msum[1, 0] * inv_b
+        ent = msum[2, 0] * inv_b
+        return grads, (pg, vl, ent)
+
+    update.block_envs = block_envs
+    return update

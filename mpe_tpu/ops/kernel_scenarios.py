@@ -118,7 +118,14 @@ class KernelScenario:
         return 1.0, 1.0
 
     def physics(self, pos, vel, move):
-        return generic_physics_block(self.spec, pos, vel, move)
+        """MXU-packed pair physics (ops/mxu_physics: pair deltas and
+        force scatter as +-1 matmuls, sublane-packed transcendentals;
+        world_comm +24%, tag +17% — PERF.md). Falls back to the unrolled
+        ``generic_physics_block`` below 2 collide pairs, where packing
+        overhead exceeds the gain."""
+        from mpe_tpu.ops.mxu_physics import mxu_physics_block
+
+        return mxu_physics_block(self.spec, pos, vel, move, min_pairs=2)
 
     def reward_obs(self, pos, vel, comm=None, goal=None):
         raise NotImplementedError
@@ -440,15 +447,21 @@ class KernelWorldComm(KernelScenario):
         n = pos.shape[-1]
         na, ng = self.N_ADV, self.N_GOOD
 
-        def dist(i, j):
-            return jnp.sqrt(jnp.sum(jnp.square(pos[i] - pos[j]), axis=0,
-                                    keepdims=True))           # [1, N]
+        # All pairwise quantities run on SQUARED distances: thresholds
+        # (collisions, food touch, forest membership) compare squares —
+        # zero transcendentals — and min-distance reward terms take ONE
+        # sqrt after the min (sqrt is monotonic and correctly rounded, so
+        # sqrt(min d2) == min sqrt(d2) element-for-element). This cut the
+        # block from 24 sqrts/step to 6 (see PERF.md).
+        def d2(i, j):
+            return jnp.sum(jnp.square(pos[i] - pos[j]), axis=0,
+                           keepdims=True)                     # [1, N]
 
-        # agent-agent distances (good x adv) and pair collisions
-        d_ga = {(g, v): dist(na + g, v) for g in range(ng) for v in range(na)}
+        # squared good x adversary distances and pair collisions
+        d2_ga = {(g, v): d2(na + g, v) for g in range(ng) for v in range(na)}
         hit_ga = {
-            k: (d < float(spec.size[na + k[0]] + spec.size[k[1]]))
-            for k, d in d_ga.items()
+            k: (d < float(spec.size[na + k[0]] + spec.size[k[1]]) ** 2)
+            for k, d in d2_ga.items()
         }
         pair_hits = jnp.zeros((1, n), dtype)
         for h in hit_ga.values():
@@ -457,10 +470,10 @@ class KernelWorldComm(KernelScenario):
         # adversary rewards: -0.1 * min over good of dist + 5 * pair_hits
         adv_rows = []
         for v in range(na):
-            dmin = d_ga[(0, v)]
+            dmin2 = d2_ga[(0, v)]
             for g in range(1, ng):
-                dmin = jnp.minimum(dmin, d_ga[(g, v)])
-            adv_rows.append(-0.1 * dmin + 5.0 * pair_hits)
+                dmin2 = jnp.minimum(dmin2, d2_ga[(g, v)])
+            adv_rows.append(-0.1 * jnp.sqrt(dmin2) + 5.0 * pair_hits)
 
         # good rewards: -5/adv hit, -2*bound, +2/food touch, +0.05*min food d
         good_rows = []
@@ -478,23 +491,24 @@ class KernelWorldComm(KernelScenario):
                               jnp.minimum(jnp.exp(2.0 * x - 2.0), 10.0)))
                 bound = bound + pen
             food_touch = jnp.zeros((1, n), dtype)
-            food_dmin = None
+            food_dmin2 = None
             for f in self.FOOD:
-                df = dist(i, a + f)
+                df2 = d2(i, a + f)
                 food_touch = food_touch + (
-                    df < float(spec.size[i] + spec.size[a + f])).astype(dtype)
-                food_dmin = df if food_dmin is None else jnp.minimum(
-                    food_dmin, df)
+                    df2 < float(spec.size[i] + spec.size[a + f]) ** 2
+                ).astype(dtype)
+                food_dmin2 = df2 if food_dmin2 is None else jnp.minimum(
+                    food_dmin2, df2)
             good_rows.append(-5.0 * hits - 2.0 * bound + 2.0 * food_touch
-                             + 0.05 * food_dmin)
+                             + 0.05 * jnp.sqrt(food_dmin2))
         rew = jnp.concatenate(adv_rows + good_rows, axis=0)   # [6, N]
 
         # forest membership / visibility (simple_world_comm.py:231-261)
         in_f = {}
         for i in range(a):
             for fi, f in enumerate(self.FORESTS):
-                in_f[(i, fi)] = dist(i, a + f) < float(
-                    spec.size[i] + spec.size[a + f])
+                in_f[(i, fi)] = d2(i, a + f) < float(
+                    spec.size[i] + spec.size[a + f]) ** 2
         outside = {
             i: jnp.logical_not(in_f[(i, 0)] | in_f[(i, 1)]) for i in range(a)
         }
