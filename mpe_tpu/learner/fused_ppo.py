@@ -350,12 +350,21 @@ def build_fused_mappo_step(
     interpret: bool = False,
     axis_name: str = "env",
     compute_dtype=None,
+    fused_update: bool = True,
 ):
     """Jitted data-parallel MAPPO iteration on the fused engine (same
     contract as ``build_fused_ppo_step``; params in
     learner.ppo.init_mappo format). Decentralized actors run inside the
     kernel; the centralized critic reads the joint observation outside.
-    Intended for collaborative scenarios (shared team reward)."""
+    Intended for collaborative scenarios (shared team reward).
+
+    ``fused_update=True`` (default) computes each epoch's gradient with
+    the single-kernel actor+critic forward/backward of
+    ops/fused_update.fused_mappo_update (pinned to ``jax.grad`` by
+    tests/test_fused_update.py); ``False`` keeps the XLA
+    ``jax.value_and_grad`` epoch."""
+    from mpe_tpu.ops.fused_update import fused_mappo_update
+
     kscn = _resolve(scenario)
     compute_dtype = _resolve_dtype(compute_dtype, mesh)
     spec = kscn.spec
@@ -381,6 +390,13 @@ def build_fused_mappo_step(
 
     nonterm_t = 1.0 - (jnp.arange(1, n_steps + 1) % horizon == 0).astype(
         jnp.float32)
+    kernel_update = (
+        fused_mappo_update(kscn, local_envs, n_steps, hidden, clip=clip,
+                           vf_coef=vf_coef, ent_coef=ent_coef,
+                           block_envs=block_envs, t_chunk=t_chunk,
+                           interpret=interpret,
+                           compute_dtype=compute_dtype)
+        if fused_update else None)
 
     def actor_logits(params, obs):
         h = _torso_minor(params["a1"], params["a2"], obs, compute_dtype)
@@ -433,14 +449,31 @@ def build_fused_mappo_step(
                               last_value, gamma, lam)
         batch = (obs, mv_oh, cm_oh, logp_old, value, adv, ret)
 
-        def epoch(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, *aux)
+        if fused_update:
+            # adv normalization hoisted out of the loss: adv is constant
+            # across epochs (identical values to the in-loss form)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                grads, (pg, vl, ent) = kernel_update(
+                    params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
+                    value)
+                loss = pg + vf_coef * vl - ent_coef * ent
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, pg, vl, ent)
+        else:
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
 
         (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
             epoch, (params, opt_state), jnp.arange(ppo_epochs))

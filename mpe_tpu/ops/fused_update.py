@@ -186,6 +186,239 @@ def _update_kernel(
         ref[:] = ref[:] + val
 
 
+def _mappo_update_kernel(
+    obs_ref, mvoh_ref, cmoh_ref, lpo_ref, adv_ref, ret_ref, vold_ref,
+    w1a, b1a, w2a, b2a, w3a, b3a, w2at, w3at,
+    w1c, b1c, w2c, b2c, w3c, b3c, w2ct, w3ct,
+    dw1a, db1a, dw2a, db2a, dw3a, db3a,
+    dw1c, db1c, dw2c, db2c, dw3c, db3c, msum,
+    *, spec, uses_comm: bool, t_chunk: int, block_envs: int,
+    clip: float, vf_coef: float, ent_coef: float,
+    inv_b: float, inv_bv: float, cd,
+):
+    """MAPPO epoch gradient (learner.fused_ppo.build_fused_mappo_step's
+    loss): decentralized actor (agents lane-concatenated, shared
+    params) + centralized critic on the joint observation (agent obs
+    sublane-concatenated). The team advantage ``adv`` [t_chunk, 1, nb]
+    broadcasts across agents by lane-concat. Same analytic gradient
+    forms as ``_update_kernel``; the critic's value loss is a mean over
+    [T, N] (``inv_bv``) while pg/entropy are means over [T, A, N]
+    (``inv_b``)."""
+    a = spec.n_agents
+    mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if uses_comm else 0
+
+    at = _acc_dtype(cd)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    outs = (dw1a, db1a, dw2a, db2a, dw3a, db3a,
+            dw1c, db1c, dw2c, db2c, dw3c, db3c, msum)
+
+    @pl.when(first)
+    def _zero():
+        for ref in outs:
+            ref[:] = jnp.zeros_like(ref)
+
+    if dim_c:
+        speak = jnp.concatenate(
+            [jnp.full((1, block_envs), 0.0 if spec.silent[i] else 1.0, at)
+             for i in range(a)], axis=1)
+
+    def cat_lanes(ref, t):                  # -> [R, A*nb]
+        return jnp.concatenate([ref[t, i] for i in range(a)], axis=-1)
+
+    def cat_rows(ref, t):                   # [t_chunk, A, nb] -> [1, A*nb]
+        return jnp.concatenate([ref[t, i : i + 1] for i in range(a)],
+                               axis=-1)
+
+    acc = [jnp.zeros_like(r[:]) for r in outs]
+
+    for t in range(t_chunk):
+        x = cat_lanes(obs_ref, t)           # [OW, A*nb]
+        xj = jnp.concatenate([obs_ref[t, i] for i in range(a)],
+                             axis=0)        # joint obs [A*OW, nb]
+        mvoh = cat_lanes(mvoh_ref, t)
+        lpo = cat_rows(lpo_ref, t)
+        adv1 = adv_ref[t]                   # [1, nb] team adv
+        adv = jnp.concatenate([adv1] * a, axis=-1)    # [1, A*nb]
+        ret = ret_ref[t]                    # [1, nb]
+        vold = vold_ref[t]
+
+        # actor forward
+        h1 = jnp.tanh(_dot(w1a[:], x, cd) + b1a[:])
+        h2 = jnp.tanh(_dot(w2a[:], h1, cd) + b2a[:])
+        z = _dot(w3a[:], h2, cd) + b3a[:]   # [K, A*nb]
+        p, ls, ent_m = _softmax_rows(z[:mw])
+        lp = jnp.sum(ls * mvoh, axis=0, keepdims=True)
+        ent = ent_m
+        if dim_c:
+            cmoh = cat_lanes(cmoh_ref, t)
+            pc, lsc, ent_c = _softmax_rows(z[mw : mw + dim_c])
+            lp = lp + jnp.sum(lsc * cmoh, axis=0, keepdims=True) * speak
+            ent = ent_m + ent_c * speak
+
+        # critic forward
+        g1 = jnp.tanh(_dot(w1c[:], xj, cd) + b1c[:])
+        g2 = jnp.tanh(_dot(w2c[:], g1, cd) + b2c[:])
+        v = _dot(w3c[:], g2, cd) + b3c[:]   # [1, nb]
+
+        # pg + entropy gradient at the actor logits
+        ratio = jnp.exp(lp - lpo)
+        rc = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+        s1 = ratio * adv
+        s2 = rc * adv
+        unclipped = (s1 <= s2).astype(at)
+        cpg = -(adv * ratio) * unclipped * inv_b
+        gpi = cpg * (mvoh - p) + (ent_coef * inv_b) * p * (ls + ent_m)
+        parts = [gpi]
+        if dim_c:
+            gc = (cpg * (cmoh - pc)
+                  + (ent_coef * inv_b) * pc * (lsc + ent_c)) * speak
+            parts.append(gc)
+        g3 = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=0)                  # [K, A*nb]
+
+        gh2 = _dot(w3at[:], g3, cd) * (1.0 - jnp.square(h2))
+        gh1 = _dot(w2at[:], gh2, cd) * (1.0 - jnp.square(h1))
+        acc[0] = acc[0] + _dot_nt(gh1, x, cd)
+        acc[1] = acc[1] + jnp.sum(gh1, axis=1, keepdims=True)
+        acc[2] = acc[2] + _dot_nt(gh2, h1, cd)
+        acc[3] = acc[3] + jnp.sum(gh2, axis=1, keepdims=True)
+        acc[4] = acc[4] + _dot_nt(g3, h2, cd)
+        acc[5] = acc[5] + jnp.sum(g3, axis=1, keepdims=True)
+
+        # clipped value-loss gradient at the critic output
+        vc = vold + jnp.clip(v - vold, -clip, clip)
+        dv_live = (jnp.square(v - ret) >= jnp.square(vc - ret)).astype(at)
+        gv = (vf_coef * 2.0 * inv_bv) * (v - ret) * dv_live   # [1, nb]
+        gg2 = _dot(w3ct[:], gv, cd) * (1.0 - jnp.square(g2))
+        gg1 = _dot(w2ct[:], gg2, cd) * (1.0 - jnp.square(g1))
+        acc[6] = acc[6] + _dot_nt(gg1, xj, cd)
+        acc[7] = acc[7] + jnp.sum(gg1, axis=1, keepdims=True)
+        acc[8] = acc[8] + _dot_nt(gg2, g1, cd)
+        acc[9] = acc[9] + jnp.sum(gg2, axis=1, keepdims=True)
+        acc[10] = acc[10] + _dot_nt(gv, g2, cd)
+        acc[11] = acc[11] + jnp.sum(gv, axis=1, keepdims=True)
+
+        pg_s = jnp.sum(-jnp.minimum(s1, s2), axis=1, keepdims=True)
+        vl_s = jnp.sum(jnp.maximum(jnp.square(v - ret),
+                                   jnp.square(vc - ret)),
+                       axis=1, keepdims=True)
+        ent_s = jnp.sum(ent, axis=1, keepdims=True)
+        acc[12] = acc[12] + jnp.concatenate(
+            [pg_s, vl_s, ent_s, jnp.zeros((1, 1), at)], axis=0)
+
+    for ref, val in zip(outs, acc):
+        ref[:] = ref[:] + val
+
+
+def fused_mappo_update(
+    kscn,
+    n_envs: int,
+    n_steps: int,
+    hidden: int,
+    clip: float = 0.2,
+    vf_coef: float = 0.5,
+    ent_coef: float = 0.01,
+    block_envs: int = 1024,
+    t_chunk: int = 8,
+    interpret: bool = False,
+    compute_dtype=f32,
+):
+    """Build ``update(params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
+    v_old) -> (grads, (pg, vloss, ent))`` for the MAPPO params of
+    learner.ppo.init_mappo (a1/a2/pi actor + c1/c2/v centralized
+    critic). ``adv_n``/``ret``/``v_old`` are the TEAM streams [T, N]
+    (``adv_n`` pre-normalized); grads match ``jax.grad`` of
+    learner.fused_ppo.build_fused_mappo_step's loss_fn."""
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario, KernelScenario
+
+    kscn = kscn if isinstance(kscn, KernelScenario) else kernel_scenario(kscn)
+    spec = kscn.spec
+    a = spec.n_agents
+    mw = 2 * spec.dim_p + 1
+    dim_c = spec.dim_c if kscn.uses_comm else 0
+    k = mw + dim_c
+    ow = kscn.obs_w
+    h = hidden
+    block_envs = pick_block_envs(n_envs, block_envs)
+    assert n_steps % t_chunk == 0, (n_steps, t_chunk)
+    n_blocks = n_envs // block_envs
+    n_chunks = n_steps // t_chunk
+    inv_b = 1.0 / float(n_steps * a * n_envs)
+    inv_bv = 1.0 / float(n_steps * n_envs)
+
+    kernel = functools.partial(
+        _mappo_update_kernel, spec=spec, uses_comm=kscn.uses_comm,
+        t_chunk=t_chunk, block_envs=block_envs, clip=clip,
+        vf_coef=vf_coef, ent_coef=ent_coef, inv_b=inv_b, inv_bv=inv_bv,
+        cd=compute_dtype)
+
+    def batch_spec(*row):
+        nd = len(row)
+        return pl.BlockSpec(
+            (t_chunk, *row, block_envs),
+            lambda i, j, nd=nd: (j, *([0] * nd), i),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec(a, ow), batch_spec(a, mw)]
+    in_specs.append(batch_spec(a, dim_c) if dim_c else batch_spec(a))
+    in_specs.append(batch_spec(a))           # logp_old [T, A, N]
+    in_specs += [batch_spec(1)] * 3          # adv, ret, vold [T, 1, N]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16  # weights
+
+    whole = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple([0] * len(shape)),
+        memory_space=pltpu.VMEM)
+    out_specs = (whole((h, ow)), whole((h, 1)), whole((h, h)),
+                 whole((h, 1)), whole((k, h)), whole((k, 1)),
+                 whole((h, a * ow)), whole((h, 1)), whole((h, h)),
+                 whole((h, 1)), whole((1, h)), whole((1, 1)),
+                 whole((4, 1)))
+    acc_t = _acc_dtype(compute_dtype)
+    out_shapes = tuple(jax.ShapeDtypeStruct(s.block_shape, acc_t)
+                       for s in out_specs)
+
+    grid_spec = pl.GridSpec(grid=(n_blocks, n_chunks),
+                            in_specs=tuple(in_specs),
+                            out_specs=out_specs)
+    call = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=out_shapes, interpret=interpret)
+
+    @jax.jit
+    def update(params, obs, mv_oh, cm_oh, logp_old, adv_n, ret, v_old):
+        wt = lambda q: params[q]["w"].T.astype(acc_t)
+        bc = lambda q: params[q]["b"].astype(acc_t)[:, None]
+        if cm_oh is None:
+            cm_oh = jnp.zeros(mv_oh.shape[:2] + mv_oh.shape[3:], acc_t)
+        team = lambda s: s[:, None, :]       # [T, N] -> [T, 1, N]
+        w2a, w3a = wt("a2"), wt("pi")
+        w2c, w3c = wt("c2"), wt("v")
+        (dw1a, db1a, dw2a, db2a, dw3a, db3a,
+         dw1c, db1c, dw2c, db2c, dw3c, db3c, msum) = call(
+            obs, mv_oh, cm_oh, logp_old, team(adv_n), team(ret),
+            team(v_old),
+            wt("a1"), bc("a1"), w2a, bc("a2"), w3a, bc("pi"),
+            w2a.T, w3a.T,
+            wt("c1"), bc("c1"), w2c, bc("c2"), w3c, bc("v"),
+            w2c.T, w3c.T)
+        grads = {
+            "a1": {"w": dw1a.T, "b": db1a[:, 0]},
+            "a2": {"w": dw2a.T, "b": db2a[:, 0]},
+            "pi": {"w": dw3a.T, "b": db3a[:, 0]},
+            "c1": {"w": dw1c.T, "b": db1c[:, 0]},
+            "c2": {"w": dw2c.T, "b": db2c[:, 0]},
+            "v": {"w": dw3c.T, "b": db3c[:, 0]},
+        }
+        pg = msum[0, 0] * inv_b
+        vl = msum[1, 0] * inv_bv
+        ent = msum[2, 0] * inv_b
+        return grads, (pg, vl, ent)
+
+    update.block_envs = block_envs
+    return update
+
+
 def fused_ppo_update(
     kscn,
     n_envs: int,

@@ -120,12 +120,15 @@ class KernelScenario:
     def physics(self, pos, vel, move):
         """MXU-packed pair physics (ops/mxu_physics: pair deltas and
         force scatter as +-1 matmuls, sublane-packed transcendentals;
-        world_comm +24%, tag +17% — PERF.md). Falls back to the unrolled
-        ``generic_physics_block`` below 2 collide pairs, where packing
-        overhead exceeds the gain."""
+        world_comm +20%, tag +15% — PERF.md). Falls back to the unrolled
+        ``generic_physics_block`` below 4 collide pairs: the same-process
+        A/B (tools/kernel_ablate.py) shows spread's 3 pairs run ~5%
+        FASTER unrolled — building the scatter/gather matrices costs more
+        than packing three pairs saves — while tag (14 pairs) and
+        world_comm (21) gain 15-20% packed."""
         from mpe_tpu.ops.mxu_physics import mxu_physics_block
 
-        return mxu_physics_block(self.spec, pos, vel, move, min_pairs=2)
+        return mxu_physics_block(self.spec, pos, vel, move, min_pairs=4)
 
     def reward_obs(self, pos, vel, comm=None, goal=None):
         raise NotImplementedError

@@ -201,6 +201,32 @@ def test_fused_ppo_sharded_8dev():
                map(np.asarray, jax.tree.leaves(s8[0])))
 
 
+def test_fused_mappo_update_path_matches_xla_path():
+    """build_fused_mappo_step(fused_update=True) matches the XLA
+    value_and_grad path: identical rollouts, same loss, same first
+    update (to f32 reduction-order noise)."""
+    from mpe_tpu.learner import build_fused_mappo_step
+
+    kw = dict(n_envs=64, n_steps=8, horizon=8, hidden=32, block_envs=32,
+              t_chunk=4, interpret=True)
+    step_k = build_fused_mappo_step("simple_spread", _mesh(1),
+                                    fused_update=True, **kw)
+    step_x = build_fused_mappo_step("simple_spread", _mesh(1),
+                                    fused_update=False, **kw)
+    params = step_k.init_params(jax.random.PRNGKey(0))
+    sk, mk = step_k(step_k.init_state(params), 11)
+    sx, mx = step_x(step_x.init_state(params), 11)
+    for key in ("loss", "pg_loss", "v_loss", "entropy", "mean_reward"):
+        np.testing.assert_allclose(float(mk[key]), float(mx[key]),
+                                   rtol=2e-4, atol=1e-5, err_msg=key)
+    for (pa, a), (pb, b) in zip(
+            jax.tree.flatten_with_path(sk[0])[0],
+            jax.tree.flatten_with_path(sx[0])[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, err_msg=str(pa))
+
+
 def test_fused_update_path_matches_xla_path():
     """build_fused_ppo_step(fused_update=True) produces the same metrics
     and (to f32 reduction-order noise) the same first-iteration update

@@ -87,6 +87,25 @@ def main():
               kr, pr, n_envs=ne, n_steps=min(ns, 64), horizon=25,
               block_envs=1024, t_chunk=8)(0, pr))
 
+    # the in-kernel learner updates (full fused PPO / MAPPO iteration:
+    # rollout kernel + update kernel + optax, on a comm scenario too so
+    # the comm-head gradient path lowers)
+    from jax.sharding import Mesh
+
+    from mpe_tpu.learner import build_fused_mappo_step, build_fused_ppo_step
+
+    mesh = Mesh(np.array([jax.devices()[0]]), ("env",))
+    for nm, builder in (("fused_ppo_step", build_fused_ppo_step),
+                        ("fused_mappo_step", build_fused_mappo_step)):
+        for scen in ("simple_spread", "simple_reference"):
+            def run(b=builder, s=scen):
+                step = b(s, mesh, n_envs=1024, n_steps=16, horizon=16,
+                         hidden=64, block_envs=512, t_chunk=8)
+                state, m = step(step.init_state(
+                    step.init_params(jax.random.PRNGKey(0))), 0)
+                return tuple(m.values())
+            check(f"{nm}[{scen}]", run)
+
     if failures:
         print(f"FAILED: {failures}", flush=True)
         sys.exit(1)
