@@ -133,7 +133,9 @@ def main():
               "n_steps": N_STEPS, "iters": ITERS, "hp": HP,
               "loops": {}}
     for name, fn in (("xla_ppo", bench_xla_ppo),
-                     ("fused_ppo", bench_fused_ppo)):
+                     ("fused_ppo", bench_fused_ppo),
+                     ("fused_mappo", lambda m: bench_fused_ppo(
+                         m, "build_fused_mappo_step"))):
         r = fn(mesh)
         r["per_call_steps_s"] = transitions / r["per_call_s"]
         r["scanned_steps_s"] = transitions / r["scanned_s"]
