@@ -81,12 +81,13 @@ def make_det_rollout(kscn, n_steps: int):
         obs0 = jnp.zeros((spec.n_agents, kscn.obs_w, n), f32)
         comm = comm0 if has_comm else None
         goal = goal0 if has_goal else None
+        prep = kscn.prepare(pos0.dtype)
 
         def body(step, carry):
             pos, vel, rew_sum, _, _ = carry
             move = det_moves(spec, step, n)
-            pos, vel = kscn.physics(pos, vel, move)
-            rew, obs = kscn.reward_obs(pos, vel, comm, goal)
+            pos, vel = kscn.physics(pos, vel, move, prep=prep)
+            rew, obs = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
             return (pos, vel, rew_sum + rew, rew, obs)
 
         return jax.lax.fori_loop(

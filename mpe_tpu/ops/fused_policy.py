@@ -99,11 +99,12 @@ def _policy_rollout_kernel(
     sample_state, sample_goal, _ = make_samplers(kscn, uniform)
 
     zero = jnp.zeros((), jnp.int32)
+    prep = kscn.prepare(f32)
     pos0 = sample_state(zero, 0, n)
     vel0 = jnp.zeros((e, p, n), f32)
     goal0 = sample_goal(zero, 8, n)
     comm0 = (jnp.zeros((a, spec.dim_c, n), f32) if kscn.uses_comm else None)
-    _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0)
+    _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
 
     carry0 = [
         pos0, vel0, obs0,
@@ -121,8 +122,8 @@ def _policy_rollout_kernel(
         move, comm = _policy_sample(
             kscn, w1[:], b1[:], w2[:], b2[:], w3[:], b3[:], obs, uniform,
             step)
-        pos, vel = kscn.physics(pos, vel, move)
-        rew, obs = kscn.reward_obs(pos, vel, comm, goal)
+        pos, vel = kscn.physics(pos, vel, move, prep=prep)
+        rew, obs = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
         ret_acc = ret_acc + rew
         t = t + 1
         done = t >= horizon
@@ -132,7 +133,7 @@ def _policy_rollout_kernel(
         goal_f = sample_goal(step, 24, n)
         comm_f = jnp.zeros_like(comm) if comm is not None else None
         _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
-                                   goal_f)
+                                   goal_f, prep=prep)
         pos = jnp.where(done[None], pos_f, pos)
         vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs = jnp.where(done[None], obs_f, obs)
@@ -276,6 +277,7 @@ def _policy_traj_kernel(
         seed_ref, interpret, *((chunk_j,) if interpret else ()))
     sample_state, sample_goal, _ = make_samplers(kscn, uniform)
     zero = jnp.zeros((), jnp.int32)
+    prep = kscn.prepare(f32)
 
     @pl.when(chunk_j == 0)
     def _init_block():
@@ -285,7 +287,7 @@ def _policy_traj_kernel(
         goal0 = sample_goal(zero, 8, n)
         comm0 = (jnp.zeros((a, spec.dim_c, n), f32)
                  if kscn.uses_comm else None)
-        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0)
+        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
         pos_s[:] = pos0
         vel_s[:] = vel0
         obs_s[:] = obs0
@@ -299,8 +301,8 @@ def _policy_traj_kernel(
         move, comm = _policy_sample(
             kscn, w1[:], b1[:], w2[:], b2[:], w3[:], b3[:], obs, uniform,
             step)
-        pos, vel = kscn.physics(pos, vel, move)
-        rew, obs_next = kscn.reward_obs(pos, vel, comm, goal)
+        pos, vel = kscn.physics(pos, vel, move, prep=prep)
+        rew, obs_next = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
         obs_out[pl.ds(step, 1)] = obs[None]
         act_out[pl.ds(step, 1)] = _onehot_index(move)[None]
         if cact_out is not None:
@@ -313,7 +315,7 @@ def _policy_traj_kernel(
         goal_f = sample_goal(step, 24, n)
         comm_f = jnp.zeros_like(comm) if comm is not None else None
         _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
-                                   goal_f)
+                                   goal_f, prep=prep)
         pos_s[:] = jnp.where(done[None], pos_f, pos)
         vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs_s[:] = jnp.where(done[None], obs_f, obs_next)

@@ -326,6 +326,9 @@ def _generic_rollout_kernel(
     has_comm = bool(spec.dim_c) and getattr(kscn, "uses_comm", False)
 
     zero = jnp.zeros((), jnp.int32)
+    # loop-invariant gather/scatter matrices, built ONCE (Mosaic does
+    # not hoist the iota/where chains out of fori_loop)
+    prep = kscn.prepare(f32)
     carry0 = [
         sample_state(zero, 0, n),
         jnp.zeros((e, p, n), f32),
@@ -341,9 +344,9 @@ def _generic_rollout_kernel(
         pos, vel, t, rew_acc, obs_acc, *extra = carry
         goal = extra[0] if n_goals else None
         move = uniform((a, 2 * p + 1, n), step, 2)
-        pos, vel = kscn.physics(pos, vel, move)
+        pos, vel = kscn.physics(pos, vel, move, prep=prep)
         comm = sample_comm(step, 16, n) if has_comm else None
-        rew, obs = kscn.reward_obs(pos, vel, comm, goal)
+        rew, obs = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
         rew_acc = rew_acc + rew
         obs_acc = obs_acc + jnp.sum(jnp.sum(obs, axis=0), axis=0,
                                     keepdims=True)

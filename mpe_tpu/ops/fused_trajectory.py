@@ -61,6 +61,7 @@ def _traj_kernel(
     sample_state, sample_goal, sample_comm = make_samplers(kscn, uniform)
 
     zero = jnp.zeros((), jnp.int32)
+    prep = kscn.prepare(f32)
 
     @pl.when(chunk_j == 0)
     def _init_block():
@@ -75,9 +76,9 @@ def _traj_kernel(
         pos, vel, t = pos_s[:], vel_s[:], t_s[:]
         goal = goal_s[:] if n_goals else None
         move = uniform((a, 2 * p + 1, n), step, 2)
-        pos, vel = kscn.physics(pos, vel, move)
+        pos, vel = kscn.physics(pos, vel, move, prep=prep)
         comm = sample_comm(step, 16, n) if dim_c else None
-        rew, obs = kscn.reward_obs(pos, vel, comm, goal)
+        rew, obs = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
         obs_out[pl.ds(step, 1)] = obs[None]
         act = (jnp.concatenate([move, comm], axis=1) if dim_c else move)
         act_out[pl.ds(step, 1)] = act[None]

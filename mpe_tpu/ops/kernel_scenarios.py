@@ -117,7 +117,21 @@ class KernelScenario:
         """(agent_range, landmark_range) for uniform position sampling."""
         return 1.0, 1.0
 
-    def physics(self, pos, vel, move):
+    MIN_MXU_PAIRS = 4
+
+    def prepare(self, dtype):
+        """Loop-invariant kernel constants (the iota/where-built gather/
+        scatter matrices). Kernels MUST call this once BEFORE their step
+        loop and thread the result through ``physics``/``reward_obs`` —
+        Mosaic does not hoist the construction chains out of
+        ``fori_loop`` (measured ~30% of world_comm's step when rebuilt
+        per iteration). Subclasses extend the dict."""
+        from mpe_tpu.ops.mxu_physics import mxu_physics_prep
+
+        return {"phys": mxu_physics_prep(self.spec, dtype,
+                                         self.MIN_MXU_PAIRS)}
+
+    def physics(self, pos, vel, move, prep=None):
         """MXU-packed pair physics (ops/mxu_physics: pair deltas and
         force scatter as +-1 matmuls, sublane-packed transcendentals;
         world_comm +20%, tag +15% — PERF.md). Falls back to the unrolled
@@ -128,9 +142,12 @@ class KernelScenario:
         world_comm (21) gain 15-20% packed."""
         from mpe_tpu.ops.mxu_physics import mxu_physics_block
 
-        return mxu_physics_block(self.spec, pos, vel, move, min_pairs=4)
+        return mxu_physics_block(self.spec, pos, vel, move,
+                                 min_pairs=self.MIN_MXU_PAIRS,
+                                 prep=None if prep is None
+                                 else prep.get("phys"))
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         raise NotImplementedError
 
 
@@ -143,7 +160,7 @@ class KernelSimple(KernelScenario):
         self.obs_w = 4
         self.reward_rows = 1
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         rel = pos[1] - pos[0]                                # [P, N]
         rew = -jnp.sum(jnp.square(rel), axis=0, keepdims=True)
         obs = jnp.concatenate([vel[0], rel], axis=0)[None]   # [1, 4, N]
@@ -158,7 +175,7 @@ class KernelSpread(KernelScenario):
         self.obs_w = 18
         self.reward_rows = 1
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         a = self.spec.n_agents
         return spread_reward_obs_block(self.spec, pos[:a], vel[:a], pos[a:])
 
@@ -175,7 +192,7 @@ class KernelTag(KernelScenario):
     def reset_ranges(self):
         return 1.0, 0.9                                      # simple_tag.py:47-52
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         spec = self.spec
         a, l = spec.n_agents, spec.n_landmarks
         dtype = pos.dtype
@@ -257,7 +274,7 @@ class KernelAdversary(KernelScenario):
         self.reward_rows = 3
         self.goal_choices = (2,)
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         n = pos.shape[-1]
         gpos = select_by_goal(goal[0:1], [pos[3], pos[4]])    # [P, N]
         d = []
@@ -295,7 +312,7 @@ class KernelPush(KernelScenario):
         self.reward_rows = 2
         self.goal_choices = (2,)
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         dtype = pos.dtype
         n = pos.shape[-1]
         g = goal[0:1]
@@ -334,7 +351,7 @@ class KernelReference(KernelScenario):
         self.goal_choices = (3, 3)
         self.uses_comm = True
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         dtype = pos.dtype
         n = pos.shape[-1]
         lpos = [pos[2], pos[3], pos[4]]
@@ -368,7 +385,7 @@ class KernelSpeakerListener(KernelScenario):
         self.goal_choices = (3,)
         self.uses_comm = True
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         dtype = pos.dtype
         n = pos.shape[-1]
         g = goal[0:1]
@@ -396,7 +413,7 @@ class KernelCrypto(KernelScenario):
         self.goal_choices = (2, 2)
         self.uses_comm = True
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         dtype = pos.dtype
         dc = self.spec.dim_c
         goal_color = onehot_rows(goal[0:1], dc, dtype)         # [4, N]
@@ -433,6 +450,13 @@ class KernelWorldComm(KernelScenario):
     N_ADV, N_GOOD = 4, 2
     FOOD = (1, 2)
     FORESTS = (3, 4)
+    # Matmul obs assembly measured SLOWER than row-wise even with the
+    # gather matrices prebuilt (212 vs 314 M steps/s on hardware,
+    # tools/kernel_ablate.py --variants rowwise_obs,mxu_obs): unlike the
+    # physics, obs rows need per-pair visibility masks and a 34-row
+    # concat around the matmul outputs, and those relayouts cost more
+    # than the row subtracts saved. Kept selectable for the A/B.
+    MXU_OBS = False
 
     def __init__(self, spec: ScenarioSpec):
         self.spec = spec
@@ -443,7 +467,7 @@ class KernelWorldComm(KernelScenario):
     def reset_ranges(self):
         return 1.0, 0.9
 
-    def reward_obs(self, pos, vel, comm=None, goal=None):
+    def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
         spec = self.spec
         a = spec.n_agents
         dtype = pos.dtype
@@ -523,6 +547,55 @@ class KernelWorldComm(KernelScenario):
             return same | (outside[i] & outside[j])
 
         leader_c = comm[0]                                    # [4, N]
+        if self.MXU_OBS:
+            obs = self._obs_mxu(pos, vel, in_f, visible, leader_c, prep)
+        else:
+            obs = self._obs_rowwise(pos, vel, in_f, visible, leader_c)
+        return rew, obs
+
+    def _obs_matrix_rows(self):
+        """Per-agent (u_rows, rel_rows, ovel_rows) sparse entries over
+        the packed state [pos_flat(2E); agent vels(2A)]."""
+        spec = self.spec
+        a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
+        pr = lambda ent, d: p * ent + d
+        vr = lambda ag, d: p * e + p * ag + d
+        per_agent = []
+        for i in range(a):
+            u_rows = ([{vr(i, d): 1.0} for d in range(p)]
+                      + [{pr(i, d): 1.0} for d in range(p)])
+            for f in range(spec.n_landmarks):
+                u_rows += [{pr(a + f, d): 1.0, pr(i, d): -1.0}
+                           for d in range(p)]
+            others = [j for j in range(a) if j != i]
+            rel_rows = [{pr(j, d): 1.0, pr(i, d): -1.0}
+                        for j in others for d in range(p)]
+            goods = [j for j in others if not spec.adversary[j]]
+            ovel_rows = [{vr(j, d): 1.0} for j in goods for d in range(p)]
+            per_agent.append((u_rows, rel_rows, ovel_rows))
+        return per_agent
+
+    def prepare(self, dtype):
+        from mpe_tpu.ops.mxu_physics import entries_matrix
+
+        prep = super().prepare(dtype)
+        if self.MXU_OBS:
+            spec = self.spec
+            width = spec.dim_p * (spec.n_entities + spec.n_agents)
+            prep["obs"] = [
+                tuple(entries_matrix(rows, len(rows), width, dtype)
+                      for rows in agent_rows)
+                for agent_rows in self._obs_matrix_rows()
+            ]
+        return prep
+
+    def _obs_rowwise(self, pos, vel, in_f, visible, leader_c):
+        """Row-at-a-time obs assembly (one [P, N] subtract + where per
+        entity pair). Kept for the A/B in tools/kernel_ablate.py."""
+        spec = self.spec
+        a = spec.n_agents
+        dtype = pos.dtype
+        n = pos.shape[-1]
         rows = []
         for i in range(a):
             parts = [vel[i], pos[i]]
@@ -551,7 +624,65 @@ class KernelWorldComm(KernelScenario):
                 # good rows are 28-d; pad to the 34-d obs width
                 parts += [forest_pm] + ovel + [jnp.zeros((6, n), dtype)]
             rows.append(jnp.concatenate(parts, axis=0))
-        return rew, jnp.stack(rows)
+        return jnp.stack(rows)
+
+    def _obs_mxu(self, pos, vel, in_f, visible, leader_c, prep=None):
+        """Matmul obs assembly: every linear row (own vel/pos, landmark
+        rel, other-agent rel, other vel) comes out of a per-agent ±1
+        matmul over the packed state [pos_flat; agent vels] — the same
+        MXU gather trick as ops/mxu_physics — and forest visibility is
+        applied as ONE sublane-packed multiply per masked block instead
+        of a where per pair-row. ±1 entries at HIGHEST precision are
+        exact, so values are bit-identical to the row-wise form. The
+        matrices come prebuilt in ``prep["obs"]`` (see ``prepare`` —
+        rebuilding them per step measured SLOWER than the row-wise
+        form)."""
+        from mpe_tpu.ops.mxu_physics import entries_matrix
+
+        hi = jax.lax.Precision.HIGHEST
+        spec = self.spec
+        a = spec.n_agents
+        e = spec.n_entities
+        p = spec.dim_p
+        dtype = pos.dtype
+        n = pos.shape[-1]
+        width = p * e + p * a
+
+        S = jnp.concatenate([pos[k] for k in range(e)]
+                            + [vel[k] for k in range(a)], axis=0)
+        if prep is not None and "obs" in prep:
+            mats = prep["obs"]
+        else:
+            mats = [tuple(entries_matrix(rows, len(rows), width, dtype)
+                          for rows in agent_rows)
+                    for agent_rows in self._obs_matrix_rows()]
+
+        rows_out = []
+        for i in range(a):
+            u_m, rel_m, ovel_m = mats[i]
+            u = jnp.dot(u_m, S, precision=hi)                # [14, N]
+            rel = jnp.dot(rel_m, S, precision=hi)            # [10, N]
+            ovel = jnp.dot(ovel_m, S, precision=hi)
+            others = [j for j in range(a) if j != i]
+            goods = [j for j in others if not spec.adversary[j]]
+
+            if not spec.leader[i]:
+                vis = {j: visible(i, j).astype(dtype) for j in others}
+                rel = rel * jnp.concatenate(
+                    [vis[j] for j in others for _ in range(p)], axis=0)
+                ovel = ovel * jnp.concatenate(
+                    [vis[j] for j in goods for _ in range(p)], axis=0)
+
+            forest_pm = jnp.concatenate(
+                [jnp.where(in_f[(i, fi)], 1.0, -1.0).astype(dtype)
+                 for fi in range(2)], axis=0)
+            if spec.adversary[i]:
+                parts = [u, rel, ovel, forest_pm, leader_c]
+            else:
+                parts = [u, rel, forest_pm, ovel,
+                         jnp.zeros((6, n), dtype)]
+            rows_out.append(jnp.concatenate(parts, axis=0))
+        return jnp.stack(rows_out)
 
 
 _KERNEL_SCENARIOS = {

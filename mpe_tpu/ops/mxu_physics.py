@@ -88,10 +88,65 @@ def entries_matrix(rows, n_rows, n_cols, dtype):
     return out
 
 
-def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4):
+def mxu_physics_prep(spec, dtype, min_pairs: int = 4):
+    """Loop-invariant constants for ``mxu_physics_block``: the ±1
+    gather/scatter matrices and per-row constant columns. Build this
+    ONCE before the kernel's step loop — Mosaic does NOT hoist the
+    iota/where construction chains out of ``fori_loop`` (measured:
+    rebuilding per step costs world_comm ~30% of its whole step), so
+    the kernels call this via ``KernelScenario.prepare`` and thread the
+    result through. Returns None when the scenario falls back to the
+    unrolled physics."""
+    pairs = collide_pairs(spec)
+    if len(pairs) < max(1, min_pairs):
+        return None
+    a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
+    kp = len(pairs)
+    ep = e * p
+
+    d_rows = [{p * i + d: 1.0, p * j + d: -1.0}
+              for d in range(p) for (i, j) in pairs]
+    prep = {
+        "D": entries_matrix(d_rows, p * kp, ep, dtype),
+        "dmin": const_col([spec.size[i] + spec.size[j]
+                           for i, j in pairs], dtype),
+        "inv_mass_dt": const_col(
+            [float(spec.dt) / float(spec.initial_mass[i // p])
+             if spec.movable[i // p] else 0.0 for i in range(ep)], dtype),
+    }
+    s_rows = [dict() for _ in range(ep)]
+    for kidx, (i, j) in enumerate(pairs):
+        for d in range(p):
+            if spec.movable[i]:
+                s_rows[p * i + d][d * kp + kidx] = 1.0
+            if spec.movable[j]:
+                s_rows[p * j + d][d * kp + kidx] = -1.0
+    prep["S"] = entries_matrix(s_rows, ep, p * kp, dtype)
+
+    clamp_ids = [i for i in range(e)
+                 if spec.movable[i] and np.isfinite(spec.max_speed[i])]
+    if clamp_ids:
+        c = len(clamp_ids)
+        sel_rows = [{p * i + d: 1.0 for d in range(p)} for i in clamp_ids]
+        prep["Sel"] = entries_matrix(sel_rows, c, ep, dtype)
+        prep["ms"] = const_col([spec.max_speed[i] for i in clamp_ids],
+                               dtype)
+        exp_rows = []
+        for i in range(e):
+            for d in range(p):
+                exp_rows.append({clamp_ids.index(i): 1.0}
+                                if i in clamp_ids else {})
+        prep["Expand"] = entries_matrix(exp_rows, ep, c, dtype)
+    return prep
+
+
+def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4,
+                      prep=None):
     """Drop-in for ``generic_physics_block``: pos/vel [E, P, N], move
     [A, 5, N] -> (pos, vel). Falls back to the unrolled form when there
-    are too few pairs for packing to pay."""
+    are too few pairs for packing to pay. Pass ``prep`` from
+    ``mxu_physics_prep`` (built before the step loop) to avoid
+    reconstructing the constant matrices every iteration."""
     from mpe_tpu.ops.kernel_scenarios import (
         decode_move_block, generic_physics_block)
 
@@ -108,15 +163,15 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4):
     cf = float(spec.contact_force)
     damping = float(spec.damping)
     dt = float(spec.dt)
+    if prep is None:
+        prep = mxu_physics_prep(spec, dtype, min_pairs)
 
     u = decode_move_block(spec, move)                       # [A, P, N]
     pos_flat = jnp.concatenate([pos[i] for i in range(e)], axis=0)
     vel_flat = jnp.concatenate([vel[i] for i in range(e)], axis=0)
 
     # pair deltas: rows 0..K-1 = dim 0, rows K..2K-1 = dim 1, ...
-    d_rows = [{p * i + d: 1.0, p * j + d: -1.0}
-              for d in range(p) for (i, j) in pairs]
-    D = entries_matrix(d_rows, p * kp, ep, dtype)
+    D = prep["D"]
     delta = jnp.dot(D, pos_flat, precision=_HI)             # [p*K, N]
 
     d2 = jnp.zeros((kp, n), dtype)
@@ -124,24 +179,14 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4):
         d2 = d2 + jnp.square(delta[d * kp : (d + 1) * kp])
     inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))
     dist = d2 * inv
-    dmin = const_col([spec.size[i] + spec.size[j] for i, j in pairs],
-                     dtype)
     pen = jnp.logaddexp(jnp.zeros((), dtype),
-                        -(dist - dmin) / k_margin) * k_margin
+                        -(dist - prep["dmin"]) / k_margin) * k_margin
     scale = (cf * pen) * inv                                # [K, N]
     f = jnp.concatenate(
         [scale * delta[d * kp : (d + 1) * kp] for d in range(p)], axis=0)
 
     # scatter +-pair forces to movable entity rows
-    s_rows = [dict() for _ in range(ep)]
-    for kidx, (i, j) in enumerate(pairs):
-        for d in range(p):
-            if spec.movable[i]:
-                s_rows[p * i + d][d * kp + kidx] = 1.0
-            if spec.movable[j]:
-                s_rows[p * j + d][d * kp + kidx] = -1.0
-    S = entries_matrix(s_rows, ep, p * kp, dtype)
-    force = jnp.dot(S, f, precision=_HI)                    # [E*p, N]
+    force = jnp.dot(prep["S"], f, precision=_HI)            # [E*p, N]
 
     # action forces (decode already zeroes non-movable agents)
     u_flat = jnp.concatenate(
@@ -152,31 +197,18 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4):
     # per-agent speed clamp, then position. Non-movable rows get zero
     # force and zero dt/mass, and their velocity is identically zero in
     # every rollout, so the uniform update leaves them untouched.
-    inv_mass_dt = const_col(
-        [dt / float(spec.initial_mass[i // p])
-         if spec.movable[i // p] else 0.0 for i in range(ep)], dtype)
-    v = vel_flat * (1.0 - damping) + (force + u_flat) * inv_mass_dt
+    v = vel_flat * (1.0 - damping) + (force + u_flat) * prep["inv_mass_dt"]
 
-    clamp_ids = [i for i in range(e)
-                 if spec.movable[i] and np.isfinite(spec.max_speed[i])]
-    if clamp_ids:
-        c = len(clamp_ids)
-        sel_rows = [{p * i + d: 1.0 for d in range(p)} for i in clamp_ids]
-        Sel = entries_matrix(sel_rows, c, ep, dtype)
-        s2 = jnp.dot(Sel, jnp.square(v), precision=_HI)     # [C, N]
-        ms = const_col([spec.max_speed[i] for i in clamp_ids], dtype)
+    if "Sel" in prep:
+        s2 = jnp.dot(prep["Sel"], jnp.square(v), precision=_HI)  # [C, N]
+        ms = prep["ms"]
         inv_s = jax.lax.rsqrt(jnp.maximum(s2, 1e-60))
         factor = jnp.where(s2 > ms * ms, ms * inv_s,
                            jnp.ones((), dtype))             # [C, N]
         # expand factor back to entity rows: rows outside clamp groups
         # keep factor 1 (Expand row is zero there -> 1 + 0)
-        exp_rows = []
-        for i in range(e):
-            for d in range(p):
-                exp_rows.append({clamp_ids.index(i): 1.0}
-                                if i in clamp_ids else {})
-        Expand = entries_matrix(exp_rows, ep, c, dtype)
-        v = v * (1.0 + jnp.dot(Expand, factor - 1.0, precision=_HI))
+        v = v * (1.0 + jnp.dot(prep["Expand"], factor - 1.0,
+                               precision=_HI))
 
     pos_new = pos_flat + v * dt
     return (jnp.stack([pos_new[p * i : p * (i + 1)] for i in range(e)]),

@@ -39,7 +39,7 @@ def build_variants(name):
     cls = type(base)
 
     class NoRewObs(cls):
-        def reward_obs(self, pos, vel, comm=None, goal=None):
+        def reward_obs(self, pos, vel, comm=None, goal=None, prep=None):
             # keep the real [A, OW, N] obs shape: a [1, 1, N] stub's
             # leading-axis reduce crashes the Mosaic layout pass
             n = pos.shape[-1]
@@ -48,22 +48,36 @@ def build_variants(name):
                               pos.dtype))
 
     class NoPhysics(cls):
-        def physics(self, pos, vel, move):
+        def physics(self, pos, vel, move, prep=None):
             return pos, vel
 
     class Unrolled(cls):
-        def physics(self, pos, vel, move):
+        def physics(self, pos, vel, move, prep=None):
             return generic_physics_block(self.spec, pos, vel, move)
 
     class Mxu(cls):
-        def physics(self, pos, vel, move):
-            return mxu_physics_block(self.spec, pos, vel, move,
-                                     min_pairs=1)
+        MIN_MXU_PAIRS = 1
 
-    return {"full": base, "no_rewobs": NoRewObs(base.spec),
-            "no_physics": NoPhysics(base.spec),
-            "unrolled_physics": Unrolled(base.spec),
-            "mxu_physics": Mxu(base.spec)}
+        def physics(self, pos, vel, move, prep=None):
+            return mxu_physics_block(self.spec, pos, vel, move,
+                                     min_pairs=1,
+                                     prep=None if prep is None
+                                     else prep.get("phys"))
+
+    out = {"full": base, "no_rewobs": NoRewObs(base.spec),
+           "no_physics": NoPhysics(base.spec),
+           "unrolled_physics": Unrolled(base.spec),
+           "mxu_physics": Mxu(base.spec)}
+    if getattr(cls, "MXU_OBS", None) is not None:
+        class RowObs(cls):
+            MXU_OBS = False
+
+        class MxuObs(cls):
+            MXU_OBS = True
+
+        out["rowwise_obs"] = RowObs(base.spec)
+        out["mxu_obs"] = MxuObs(base.spec)
+    return out
 
 
 def main():
