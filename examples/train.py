@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--save", default=None, metavar="PATH",
                     help="checkpoint trained params (npz) at the end")
+    ap.add_argument("--fused-collect", action="store_true",
+                    help="maddpg: collect replay chunks with the "
+                         "per-agent Pallas kernel (ops/fused_maddpg)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -94,7 +97,8 @@ def main():
     if args.algo == "maddpg":
         import jax.numpy as jnp
         from mpe_tpu.envs import MpeEnv as _MpeEnv
-        from mpe_tpu.learner import build_maddpg, init_buffer, init_maddpg
+        from mpe_tpu.learner import (build_fused_collect, build_maddpg,
+                                     init_buffer, init_maddpg)
 
         env = _MpeEnv(scn, max_steps=25, auto_reset=True)
         mw = 2 * env.spec.dim_p + 1
@@ -112,23 +116,47 @@ def main():
             actor_lr=args.lr / 3, critic_lr=args.lr / 3)
         opt_states = init_opt(params)
         buffer = init_buffer(capacity, env.n_agents, scn.obs_width, mw)
-        states, obs = reset_fn(key)
-        for i in range(200):   # buffer warmup
-            states, obs, buffer, _ = collect_fn(
-                params, states, obs, buffer, jax.random.fold_in(key, i))
         # critic-only warmup scales with the run length
         actor_start = min(1000, max(1, args.iters // 3))
-        for it in range(args.iters):
-            states, obs, buffer, mr = collect_fn(
-                params, states, obs, buffer,
-                jax.random.fold_in(key, 10_000 + it))
-            params, targets, opt_states, m = update_fn(
-                params, targets, opt_states, buffer,
-                jax.random.fold_in(key, 90_000 + it),
-                (it >= actor_start) and (it % 2 == 0))
-            if it % 500 == 0 or it == args.iters - 1:
-                print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
-                      f"q {float(m['q']):+.2f}")
+        if args.fused_collect:
+            # replay collected by the per-agent-network Pallas kernel
+            # (ops/fused_maddpg): one horizon-length chunk per iteration
+            # + `horizon` updates keeps the per-transition update ratio
+            # of the per-step loop
+            horizon = env.max_steps
+            collect = build_fused_collect(
+                env, n_envs=maddpg_envs, n_steps=horizon,
+                block_envs=min(1024, maddpg_envs),
+                interpret=jax.default_backend() == "cpu")
+            for i in range(max(1, 200 // horizon)):   # buffer warmup
+                buffer, _ = collect(params["actor"], buffer, i)
+            for it in range(args.iters):
+                buffer, mr = collect(params["actor"], buffer,
+                                     10_000 + it)
+                for k in range(horizon):
+                    params, targets, opt_states, m = update_fn(
+                        params, targets, opt_states, buffer,
+                        jax.random.fold_in(key, 90_000 + it * horizon + k),
+                        (it * horizon + k >= actor_start) and (k % 2 == 0))
+                if it % 20 == 0 or it == args.iters - 1:
+                    print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
+                          f"q {float(m['q']):+.2f}")
+        else:
+            states, obs = reset_fn(key)
+            for i in range(200):   # buffer warmup
+                states, obs, buffer, _ = collect_fn(
+                    params, states, obs, buffer, jax.random.fold_in(key, i))
+            for it in range(args.iters):
+                states, obs, buffer, mr = collect_fn(
+                    params, states, obs, buffer,
+                    jax.random.fold_in(key, 10_000 + it))
+                params, targets, opt_states, m = update_fn(
+                    params, targets, opt_states, buffer,
+                    jax.random.fold_in(key, 90_000 + it),
+                    (it >= actor_start) and (it % 2 == 0))
+                if it % 500 == 0 or it == args.iters - 1:
+                    print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
+                          f"q {float(m['q']):+.2f}")
     elif args.algo in ("fused_ppo", "fused_mappo"):
         # rollout collection inside the Pallas kernel (learner/fused_ppo)
         from mpe_tpu.learner import (build_fused_mappo_step,

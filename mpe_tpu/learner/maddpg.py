@@ -295,3 +295,73 @@ def build_maddpg(
         return params, targets, opt_states, metrics
 
     return reset_fn, collect_fn, update_fn, init_opt
+
+
+def build_fused_collect(
+    env: MpeEnv,
+    n_envs: int,
+    n_steps: int,
+    eps_greedy: float = 0.1,
+    block_envs: int = 1024,
+    t_chunk: int | None = None,
+    interpret: bool = False,
+):
+    """Fused replay collection: ``collect_chunk(actor_params, buffer,
+    seed) -> (buffer, mean_reward)`` inserts ``n_steps × n_envs``
+    transitions per call, collected by the per-agent-network Pallas
+    kernel (ops/fused_maddpg) — the drop-in fast path for
+    ``build_maddpg``'s one-env-step-per-dispatch ``collect_fn``. Same
+    stored-transition semantics: hard Gumbel(-max) actions ε-mixed with
+    uniform one-hots, per-agent rewards, and the TRUE pre-reset next
+    obs (bootstrap through the time limit). Episodes restart each chunk,
+    so pass ``n_steps`` as a multiple of the env horizon."""
+    from mpe_tpu.learner.fused_ppo import _agent_rewards
+    from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    assert env.action_mode is ActionMode.DISCRETE
+    horizon = env.max_steps
+    assert horizon and n_steps % horizon == 0, (
+        f"n_steps ({n_steps}) must be a multiple of the env horizon "
+        f"({horizon}) so every stored episode is complete")
+    kscn = kernel_scenario(env.scenario)
+    if t_chunk is None:
+        t_chunk = next(c for c in (8, 5, 4, 2, 1) if n_steps % c == 0)
+
+    params0 = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w,
+                          2 * env.spec.dim_p + 1, env.n_agents)
+    tmpl = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        params0["actor"])
+    traj = fused_maddpg_trajectory(
+        kscn, tmpl, n_envs=n_envs, n_steps=n_steps, horizon=horizon,
+        eps_greedy=eps_greedy, block_envs=block_envs, t_chunk=t_chunk,
+        interpret=interpret)
+    rows_per_chunk = n_steps * n_envs
+
+    @jax.jit
+    def collect_chunk(actor_params, buffer: Buffer, seed):
+        assert buffer.obs.shape[0] % rows_per_chunk == 0, (
+            "ring capacity must be a chunk multiple so inserts wrap "
+            "cleanly (dynamic_update_slice clamps, it does not wrap)")
+        obs, act, rew, obs2 = traj(seed, actor_params)
+        rew_a = _agent_rewards(kscn, rew)                 # [T, A, N]
+
+        def rowize(x):                  # [T, ..., N] -> [T*N, ...]
+            return jnp.moveaxis(x, -1, 1).reshape((rows_per_chunk,)
+                                                  + x.shape[1:-1])
+
+        idx = buffer.ptr
+        upd = jax.lax.dynamic_update_slice_in_dim
+        buffer = buffer._replace(
+            obs=upd(buffer.obs, rowize(obs), idx, 0),
+            act=upd(buffer.act, rowize(act), idx, 0),
+            rew=upd(buffer.rew, rowize(rew_a), idx, 0),
+            obs2=upd(buffer.obs2, rowize(obs2), idx, 0),
+            ptr=(idx + rows_per_chunk) % buffer.obs.shape[0],
+            size=jnp.minimum(buffer.size + rows_per_chunk,
+                             buffer.obs.shape[0]),
+        )
+        return buffer, rew_a.mean()
+
+    collect_chunk.rows_per_chunk = rows_per_chunk
+    return collect_chunk

@@ -87,6 +87,15 @@ def main():
               kr, pr, n_envs=ne, n_steps=min(ns, 64), horizon=25,
               block_envs=1024, t_chunk=8)(0, pr))
 
+    from mpe_tpu.learner import init_maddpg
+    from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
+
+    md = init_maddpg(jax.random.PRNGKey(0), k.obs_w, 5, k.spec.n_agents)
+    check("fused_maddpg_trajectory[simple_spread]",
+          lambda: fused_maddpg_trajectory(
+              k, md["actor"], n_envs=ne, n_steps=min(ns, 50), horizon=25,
+              block_envs=1024, t_chunk=5)(0, md["actor"]))
+
     # the in-kernel learner updates (full fused PPO / MAPPO iteration:
     # rollout kernel + update kernel + optax, on a comm scenario too so
     # the comm-head gradient path lowers)
