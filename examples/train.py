@@ -100,8 +100,10 @@ def main():
         from mpe_tpu.learner import (build_fused_collect, build_maddpg,
                                      init_buffer, init_maddpg)
 
+        from mpe_tpu.learner.maddpg import maddpg_act_dim
+
         env = _MpeEnv(scn, max_steps=25, auto_reset=True)
-        mw = 2 * env.spec.dim_p + 1
+        mw = maddpg_act_dim(env)   # move head + comm head if anyone speaks
         maddpg_envs = max(8, n_envs)
         capacity = maddpg_envs * 1600
         params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, mw,
@@ -124,6 +126,10 @@ def main():
             # + `horizon` updates keeps the per-transition update ratio
             # of the per-step loop
             horizon = env.max_steps
+            # the gate below counts UPDATES (it*horizon+k); rescale so
+            # the critic-only warmup matches the per-step loop's swept
+            # 1000-update start instead of firing horizon× earlier
+            actor_start = min(1000, max(1, args.iters * horizon // 3))
             collect = build_fused_collect(
                 env, n_envs=maddpg_envs, n_steps=horizon,
                 block_envs=min(1024, maddpg_envs),

@@ -77,6 +77,16 @@ def critic_q_i(critic_params, joint):
     return _mlp(critic_params, joint, "out")[..., 0].astype(jnp.float32)
 
 
+def maddpg_act_dim(env: MpeEnv) -> int:
+    """Actor output width for ``env``: the 5-wide move head, plus a
+    dim_c-wide comm head when any agent speaks (the decoder zeroes
+    silent agents' comm and immobile agents' force, so one uniform
+    two-head actor serves heterogeneous roles — core/actions.py:94-95)."""
+    mw = 2 * env.spec.dim_p + 1
+    cw = 0 if all(env.spec.silent) else env.spec.dim_c
+    return mw + cw
+
+
 def gumbel_softmax_st(logits, key, tau: float = 1.0):
     """Straight-through Gumbel-softmax: one-hot forward, soft gradients."""
     g = -jnp.log(-jnp.log(
@@ -143,7 +153,9 @@ def build_maddpg(
                        dtype=env.dtype)
     a = env.n_agents
     mw = 2 * env.spec.dim_p + 1
-    pad_c = env.action_width - mw
+    aw = maddpg_act_dim(env)       # mw, or mw + dim_c on comm scenarios
+    cw = aw - mw
+    pad_c = env.action_width - aw
     obs_dim = env.scenario.obs_width
     assert capacity % n_envs == 0
     actor_opt = optax.adam(actor_lr)
@@ -154,16 +166,27 @@ def build_maddpg(
                 "critic": critic_opt.init(params["critic"])}
 
     def act(params, obs, key):
-        """obs [A, O] -> exploratory one-hot moves [A, mw]."""
+        """obs [A, O] -> exploratory one-hot actions [A, aw]: a move
+        one-hot, plus an independently sampled comm one-hot when the
+        scenario speaks (factorized two-head policy)."""
         logits = jax.vmap(actor_logits_i)(params["actor"], obs)
-        kg, ke, ku = jax.random.split(key, 3)
-        sampled = gumbel_softmax_st(logits, kg, gumbel_tau)
-        # epsilon-greedy uniform mix keeps coverage while the actor is
-        # still chasing an immature critic
-        rand = jax.nn.one_hot(
-            jax.random.randint(ku, (a,), 0, mw), mw, dtype=jnp.float32)
-        take_rand = (jax.random.uniform(ke, (a, 1)) < eps_greedy)
-        return jnp.where(take_rand, rand, sampled)
+
+        def head(lg, k, width):
+            kg, ke, ku = jax.random.split(k, 3)
+            sampled = gumbel_softmax_st(lg, kg, gumbel_tau)
+            # epsilon-greedy uniform mix keeps coverage while the actor
+            # is still chasing an immature critic
+            rand = jax.nn.one_hot(
+                jax.random.randint(ku, (a,), 0, width), width,
+                dtype=jnp.float32)
+            take_rand = (jax.random.uniform(ke, (a, 1)) < eps_greedy)
+            return jnp.where(take_rand, rand, sampled)
+
+        km, kc = jax.random.split(key)
+        parts = [head(logits[:, :mw], km, mw)]
+        if cw:
+            parts.append(head(logits[:, mw:], kc, cw))
+        return jnp.concatenate(parts, axis=-1)
 
     @jax.jit
     def reset_fn(key):
@@ -226,11 +249,16 @@ def build_maddpg(
         rew_b = buffer.rew[idx]
         obs2_b = buffer.obs2[idx]
 
-        # target actions from target actors (deterministic argmax one-hot)
+        # target actions from target actors (deterministic per-head
+        # argmax one-hots)
         tgt_logits = jax.vmap(
             lambda o: jax.vmap(actor_logits_i)(targets["actor"], o))(obs2_b)
-        act2 = jax.nn.one_hot(jnp.argmax(tgt_logits, -1), mw,
+        act2 = jax.nn.one_hot(jnp.argmax(tgt_logits[..., :mw], -1), mw,
                               dtype=jnp.float32)
+        if cw:
+            act2 = jnp.concatenate(
+                [act2, jax.nn.one_hot(jnp.argmax(tgt_logits[..., mw:], -1),
+                                      cw, dtype=jnp.float32)], axis=-1)
         joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
         q_next = jax.vmap(
             lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
@@ -252,25 +280,40 @@ def build_maddpg(
         def actor_loss(actor_params):
             # each agent maximizes the EXACT expectation of its critic
             # over its own (small, discrete) action set under its softmax
-            # policy, with the other agents' buffer actions fixed — a
+            # policy — the joint (move, comm) grid on comm scenarios —
+            # with the other agents' buffer actions fixed: a
             # deterministic gradient (no Gumbel straight-through noise),
             # plus a small entropy bonus against premature collapse
             logits = jax.vmap(
                 lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
-            probs = jax.nn.softmax(logits)                  # [B, A, K]
+            probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
+            probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
             total = 0.0
             for i in range(a):
                 cp = jax.tree.map(lambda x: x[i], params["critic"])
-                qk = []
+                qk, wk = [], []
                 for k in range(mw):
-                    onek = jnp.zeros((batch, mw), act_b.dtype).at[:, k].set(1.0)
-                    mixed = act_b.at[:, i].set(onek)
-                    qk.append(critic_q_i(cp, _joint(obs_b, mixed)))
-                q_all = jnp.stack(qk, axis=-1)              # [B, K]
-                exp_q = jnp.sum(probs[:, i] * jax.lax.stop_gradient(q_all),
+                    for j in range(cw if cw else 1):
+                        onek = jnp.zeros(
+                            (batch, aw), act_b.dtype).at[:, k].set(1.0)
+                        if cw:
+                            onek = onek.at[:, mw + j].set(1.0)
+                        mixed = act_b.at[:, i].set(onek)
+                        qk.append(critic_q_i(cp, _joint(obs_b, mixed)))
+                        w = probs_m[:, i, k]
+                        if cw:
+                            w = w * probs_c[:, i, j]
+                        wk.append(w)
+                q_all = jnp.stack(qk, axis=-1)              # [B, mw*cw]
+                w_all = jnp.stack(wk, axis=-1)
+                exp_q = jnp.sum(w_all * jax.lax.stop_gradient(q_all),
                                 axis=-1)
-                ent = -jnp.sum(probs[:, i] * jnp.log(probs[:, i] + 1e-10),
-                               axis=-1)
+                ent = -jnp.sum(probs_m[:, i]
+                               * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
+                if cw:
+                    ent = ent - jnp.sum(
+                        probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
+                        axis=-1)
                 total = total - (exp_q + ent_coef * ent).mean()
             return total / a
 
@@ -311,7 +354,8 @@ def build_fused_collect(
     transitions per call, collected by the per-agent-network Pallas
     kernel (ops/fused_maddpg) — the drop-in fast path for
     ``build_maddpg``'s one-env-step-per-dispatch ``collect_fn``. Same
-    stored-transition semantics: hard Gumbel(-max) actions ε-mixed with
+    stored-transition semantics: per factorized head (move + comm on
+    speaking scenarios), hard Gumbel(-max) actions ε-mixed with
     uniform one-hots, per-agent rewards, and the TRUE pre-reset next
     obs (bootstrap through the time limit). Episodes restart each chunk,
     so pass ``n_steps`` as a multiple of the env horizon."""
@@ -329,7 +373,7 @@ def build_fused_collect(
         t_chunk = next(c for c in (8, 5, 4, 2, 1) if n_steps % c == 0)
 
     params0 = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w,
-                          2 * env.spec.dim_p + 1, env.n_agents)
+                          maddpg_act_dim(env), env.n_agents)
     tmpl = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                         params0["actor"])
     traj = fused_maddpg_trajectory(

@@ -17,8 +17,9 @@ HOR, T, N = 6, 12, 32
 
 def _traj(name="simple_spread", eps=0.1, seed=5):
     kscn = kernel_scenario(name)
-    mw = 2 * kscn.spec.dim_p + 1
-    params = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w, mw,
+    aw = (2 * kscn.spec.dim_p + 1
+          + (kscn.spec.dim_c if kscn.uses_comm else 0))
+    params = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w, aw,
                          kscn.spec.n_agents, hidden=16)
     run = fused_maddpg_trajectory(
         kscn, params["actor"], n_envs=N, n_steps=T, horizon=HOR,
@@ -61,6 +62,78 @@ def test_fused_maddpg_epsilon_mixes_actions():
     mw = act.shape[2]
     freq = act.mean(axis=(0, 1, 3))              # [mw]
     assert np.all(np.abs(freq - 1.0 / mw) < 0.08), freq
+
+
+def test_fused_maddpg_comm_goal_scenario():
+    """speaker_listener (speaking speaker + goal stream): rows are a
+    move one-hot next to a comm one-hot, obs2 chains off-boundary, and
+    the goal stream varies across lanes (reaches the obs encoding)."""
+    kscn, (obs, act, rew, obs2) = _traj("simple_speaker_listener")
+    a = kscn.spec.n_agents
+    mw, cw = 2 * kscn.spec.dim_p + 1, kscn.spec.dim_c
+    assert act.shape == (T, a, mw + cw, N)
+    for part in (act[:, :, :mw], act[:, :, mw:]):
+        np.testing.assert_array_equal(part.sum(axis=2), np.ones((T, a, N)))
+    assert set(np.unique(act)) <= {0.0, 1.0}
+    for t in range(T - 1):
+        if (t + 1) % HOR != 0:
+            np.testing.assert_array_equal(obs2[t], obs[t + 1])
+    # the listener's goal landmark color differs across lanes at t=0
+    # (goal stream sampled per lane, embedded in the observation)
+    assert np.ptp(obs[0, 1]) > 0 and np.isfinite(obs).all()
+
+
+def test_build_fused_collect_comm_trains():
+    """End-to-end on speaker_listener: the fused chunk feeds the
+    two-head update_fn and both actor heads move."""
+    from mpe_tpu.learner.maddpg import maddpg_act_dim
+
+    env = MpeEnv(scenarios.load("simple_speaker_listener"),
+                 max_steps=HOR, auto_reset=True)
+    a, ow = env.n_agents, env.scenario.obs_width
+    aw = maddpg_act_dim(env)
+    params = init_maddpg(jax.random.PRNGKey(0), ow, aw, a, hidden=16)
+    collect = build_fused_collect(env, n_envs=N, n_steps=T,
+                                  block_envs=16, t_chunk=4,
+                                  interpret=True)
+    buffer = init_buffer(collect.rows_per_chunk, a, ow, aw)
+    buffer, mr = collect(params["actor"], buffer, 0)
+    assert np.isfinite(float(mr))
+
+    _, _, update_fn, init_opt = build_maddpg(
+        env, n_envs=N, capacity=collect.rows_per_chunk, batch=64)
+    targets = jax.tree.map(lambda x: x, params)
+    params2, *_ = update_fn(params, targets, init_opt(params), buffer,
+                            jax.random.PRNGKey(3), True)
+    w0 = np.asarray(params["actor"]["out"]["w"])
+    w1 = np.asarray(params2["actor"]["out"]["w"])
+    mw = 2 * env.spec.dim_p + 1
+    assert np.abs(w1[..., :mw] - w0[..., :mw]).max() > 0     # move head
+    assert np.abs(w1[..., mw:] - w0[..., mw:]).max() > 0     # comm head
+
+
+def test_sharded_fused_maddpg_equals_single():
+    """8-virtual-device sharded collection reproduces the single-device
+    kernel per lane (PRNG folds the global block index, so the streams
+    are placement-invariant) — the same contract as
+    sharded_fused_rollout."""
+    from jax.sharding import Mesh
+    from mpe_tpu.ops.fused_maddpg import sharded_fused_maddpg_trajectory
+
+    kscn = kernel_scenario("simple_spread")
+    params = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w, 5,
+                         kscn.spec.n_agents, hidden=16)
+    actor = jax.tree.map(lambda x: x.astype(jnp.float32), params["actor"])
+    n_envs, bs = 128, 16
+    single = fused_maddpg_trajectory(
+        kscn, actor, n_envs=n_envs, n_steps=8, horizon=HOR,
+        block_envs=bs, t_chunk=4, interpret=True)(3, actor)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    sharded = sharded_fused_maddpg_trajectory(
+        kscn, actor, n_envs=n_envs, n_steps=8, mesh=mesh, horizon=HOR,
+        block_envs=bs, t_chunk=4, interpret=True)(3, actor)
+    for s, d in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(d))
 
 
 def test_build_fused_collect_fills_ring_and_trains():

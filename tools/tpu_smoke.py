@@ -95,6 +95,13 @@ def main():
           lambda: fused_maddpg_trajectory(
               k, md["actor"], n_envs=ne, n_steps=min(ns, 50), horizon=25,
               block_envs=1024, t_chunk=5)(0, md["actor"]))
+    ksl = kernel_scenario("simple_speaker_listener")
+    mdc = init_maddpg(jax.random.PRNGKey(0), ksl.obs_w,
+                      5 + ksl.spec.dim_c, ksl.spec.n_agents)
+    check("fused_maddpg_trajectory[simple_speaker_listener]",
+          lambda: fused_maddpg_trajectory(
+              ksl, mdc["actor"], n_envs=ne, n_steps=min(ns, 50),
+              horizon=25, block_envs=1024, t_chunk=5)(0, mdc["actor"]))
 
     # the in-kernel learner updates (full fused PPO / MAPPO iteration:
     # rollout kernel + update kernel + optax, on a comm scenario too so

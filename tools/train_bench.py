@@ -120,7 +120,105 @@ def bench_fused_ppo(mesh, builder_name="build_fused_ppo_step"):
             "mean_reward": float(m["mean_reward"])}
 
 
+MD_ENVS = 1024       # maddpg replay envs
+MD_HORIZON = 25
+MD_CHUNKS = 10       # fused chunks; xla runs MD_CHUNKS*MD_HORIZON iters
+
+
+def bench_maddpg(fused: bool):
+    """MADDPG off-policy loop: collection + updates at the per-step
+    loop's 1-update-per-(n_envs transitions) ratio. xla collects ONE
+    env step per iteration (learner/maddpg.collect_fn); fused collects
+    a horizon chunk per iteration via the per-agent Pallas kernel
+    (ops/fused_maddpg) then scans `horizon` updates. Equal transition
+    counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs import MpeEnv
+    from mpe_tpu.learner import (build_fused_collect, build_maddpg,
+                                 init_buffer, init_maddpg)
+
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=MD_HORIZON,
+                 auto_reset=True)
+    mw = 2 * env.spec.dim_p + 1
+    capacity = MD_CHUNKS * MD_HORIZON * MD_ENVS
+    params = init_maddpg(jax.random.PRNGKey(0), env.scenario.obs_width, mw,
+                         env.n_agents)
+    targets = jax.tree.map(lambda x: x, params)
+    reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
+        env, n_envs=MD_ENVS, capacity=capacity, batch=1024)
+    opt_states = init_opt(params)
+    buffer = init_buffer(capacity, env.n_agents, env.scenario.obs_width, mw)
+
+    if fused:
+        collect = build_fused_collect(env, n_envs=MD_ENVS,
+                                      n_steps=MD_HORIZON, t_chunk=5)
+
+        @jax.jit
+        def iteration(carry, i):
+            params, targets, opt_states, buffer = carry
+            buffer, mr = collect(params["actor"], buffer, i)
+
+            def upd(c, k):
+                p, t, o = c
+                p, t, o, m = update_fn(p, t, o, buffer, k, True)
+                return (p, t, o), m["q"]
+
+            (params, targets, opt_states), _ = jax.lax.scan(
+                upd, (params, targets, opt_states),
+                jax.random.split(jax.random.fold_in(
+                    jax.random.PRNGKey(7), i), MD_HORIZON))
+            return (params, targets, opt_states, buffer), mr
+
+        @jax.jit
+        def scanned(carry):
+            return jax.lax.scan(iteration, carry,
+                                jnp.arange(MD_CHUNKS, dtype=jnp.int32))
+
+        carry = (params, targets, opt_states, buffer)
+        c2, mrs = scanned(carry)          # compile
+        _sync(mrs[-1])
+        t0 = time.time()
+        c2, mrs = scanned(carry)
+        _sync(mrs[-1])
+        return {"scanned_s": time.time() - t0}
+
+    states, obs = reset_fn(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def iteration(carry, k):
+        params, targets, opt_states, states, obs, buffer = carry
+        k1, k2 = jax.random.split(k)
+        states, obs, buffer, mr = collect_fn(params, states, obs, buffer, k1)
+        params, targets, opt_states, _ = update_fn(
+            params, targets, opt_states, buffer, k2, True)
+        return (params, targets, opt_states, states, obs, buffer), mr
+
+    @jax.jit
+    def scanned(carry):
+        return jax.lax.scan(
+            iteration, carry,
+            jax.random.split(jax.random.PRNGKey(3),
+                             MD_CHUNKS * MD_HORIZON))
+
+    carry = (params, targets, opt_states, states, obs, buffer)
+    c2, mrs = scanned(carry)              # compile
+    _sync(mrs[-1])
+    t0 = time.time()
+    c2, mrs = scanned(carry)
+    _sync(mrs[-1])
+    return {"scanned_s": time.time() - t0}
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated row subset (xla_ppo, fused_ppo, "
+                         "fused_mappo, xla_maddpg, fused_maddpg); merges "
+                         "into the existing report")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
     dev = jax.devices()[0]
     mesh = Mesh(np.array([dev]), ("env",))
     transitions = N_ENVS * N_STEPS * ITERS
@@ -129,13 +227,22 @@ def main():
           f"x {ITERS} iters = {transitions/1e6:.1f}M transitions/run",
           file=sys.stderr, flush=True)
 
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "train_bench_report.json")
     report = {"device": dev.device_kind, "n_envs": N_ENVS,
               "n_steps": N_STEPS, "iters": ITERS, "hp": HP,
               "loops": {}}
+    if only and os.path.exists(out):      # merge partial runs
+        with open(out) as fh:
+            report = json.load(fh)
+        report.setdefault("loops", {})
+
     for name, fn in (("xla_ppo", bench_xla_ppo),
                      ("fused_ppo", bench_fused_ppo),
                      ("fused_mappo", lambda m: bench_fused_ppo(
                          m, "build_fused_mappo_step"))):
+        if only and name not in only:
+            continue
         r = fn(mesh)
         r["per_call_steps_s"] = transitions / r["per_call_s"]
         r["scanned_steps_s"] = transitions / r["scanned_s"]
@@ -144,22 +251,47 @@ def main():
               f"steps/s   scanned {r['scanned_steps_s']/1e6:8.1f}M steps/s",
               file=sys.stderr, flush=True)
 
-    x, f = report["loops"]["xla_ppo"], report["loops"]["fused_ppo"]
-    report["speedup_per_call"] = (
-        f["per_call_steps_s"] / x["per_call_steps_s"])
-    report["speedup_scanned"] = f["scanned_steps_s"] / x["scanned_steps_s"]
-    print(f"fused/xla speedup: per-call {report['speedup_per_call']:.1f}x, "
-          f"scanned {report['speedup_scanned']:.1f}x",
-          file=sys.stderr, flush=True)
+    if {"xla_ppo", "fused_ppo"} <= set(report["loops"]):
+        x, f = report["loops"]["xla_ppo"], report["loops"]["fused_ppo"]
+        report["speedup_per_call"] = (
+            f["per_call_steps_s"] / x["per_call_steps_s"])
+        report["speedup_scanned"] = (
+            f["scanned_steps_s"] / x["scanned_steps_s"])
+        print(f"fused/xla speedup: per-call "
+              f"{report['speedup_per_call']:.1f}x, "
+              f"scanned {report['speedup_scanned']:.1f}x",
+              file=sys.stderr, flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "train_bench_report.json")
+    md_transitions = MD_CHUNKS * MD_HORIZON * MD_ENVS
+    md = report.setdefault(
+        "maddpg", {"n_envs": MD_ENVS, "horizon": MD_HORIZON,
+                   "transitions": md_transitions, "loops": {}})
+    for name, fused in (("xla_maddpg", False), ("fused_maddpg", True)):
+        if only and name not in only:
+            continue
+        r = bench_maddpg(fused)
+        r["scanned_steps_s"] = md_transitions / r["scanned_s"]
+        md["loops"][name] = r
+        print(f"{name:12s}  scanned {r['scanned_steps_s']/1e6:8.2f}M "
+              f"steps/s  (collect + 1 update per {MD_ENVS} transitions)",
+              file=sys.stderr, flush=True)
+    if {"xla_maddpg", "fused_maddpg"} <= set(md["loops"]):
+        md["speedup_scanned"] = (
+            md["loops"]["fused_maddpg"]["scanned_steps_s"]
+            / md["loops"]["xla_maddpg"]["scanned_steps_s"])
+        print(f"maddpg fused/xla speedup: scanned "
+              f"{md['speedup_scanned']:.1f}x",
+              file=sys.stderr, flush=True)
+
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
-    print(json.dumps({"metric": "fused-PPO training env-steps/s (scanned)",
-                      "value": f["scanned_steps_s"],
-                      "unit": "env-steps/s",
-                      "vs_xla_loop": report["speedup_scanned"]}))
+    f = report["loops"].get("fused_ppo")
+    if f:
+        print(json.dumps(
+            {"metric": "fused-PPO training env-steps/s (scanned)",
+             "value": f["scanned_steps_s"],
+             "unit": "env-steps/s",
+             "vs_xla_loop": report.get("speedup_scanned")}))
 
 
 if __name__ == "__main__":
