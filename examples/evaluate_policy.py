@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--n-envs", type=int, default=1024)
     ap.add_argument("--n-steps", type=int, default=500)
     ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--hidden", type=int, default=64,
+                    help="MLP width (must match the checkpoint's)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--load", default=None, metavar="PATH",
@@ -42,7 +44,8 @@ def main():
 
     k = kernel_scenario(args.scenario)
     dim_c = k.spec.dim_c if k.uses_comm else 0
-    params = init_policy(jax.random.PRNGKey(0), k.obs_w, 5 + dim_c)
+    params = init_policy(jax.random.PRNGKey(0), k.obs_w, 5 + dim_c,
+                         hidden=args.hidden)
     if args.load:
         from mpe_tpu.utils.checkpoint import load_checkpoint
 

@@ -65,12 +65,20 @@ def _peragent_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step,
     n = obs.shape[-1]
     f32 = jnp.float32
 
+    # interpret-mode draws are salted per (step, call_id) with a 64-id
+    # window per step (make_uniform); ids 0-27 are taken by the state /
+    # goal samplers, so the agents get a compact 6-id block each in
+    # [28, 64): 3 ids per head (gumbel, eps one-hot, eps coin)
+    assert 28 + 6 * a <= 64, (
+        f"{a} agents need {6 * a} RNG call ids; the 64-id salt window "
+        "only fits 6 agents of two 3-id heads")
+
     def head(logits, width, salt):
         samp = _gumbel_onehot(logits, uniform((width, n), step, salt))
         if eps_greedy > 0.0:
             rand = _gumbel_onehot(jnp.zeros_like(logits),
-                                  uniform((width, n), step, salt + 2))
-            take = (uniform((1, n), step, salt + 4)
+                                  uniform((width, n), step, salt + 1))
+            take = (uniform((1, n), step, salt + 2)
                     < eps_greedy).astype(f32)
             samp = take * rand + (1.0 - take) * samp
         return samp
@@ -82,9 +90,10 @@ def _peragent_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step,
         h = jnp.tanh(jnp.dot(w2[i], h, preferred_element_type=f32)
                      + b2[i])
         logits = jnp.dot(w3[i], h, preferred_element_type=f32) + b3[i]
-        parts = [head(logits[:mw], mw, 7 + 16 * i)]
+        base = 28 + 6 * i
+        parts = [head(logits[:mw], mw, base)]
         if dim_c:
-            comm = head(logits[mw:], dim_c, 15 + 16 * i)
+            comm = head(logits[mw:], dim_c, base + 3)
             parts.append(comm)
             comm_rows.append(jnp.zeros_like(comm) if spec.silent[i]
                              else comm)

@@ -112,6 +112,23 @@ def test_build_fused_collect_comm_trains():
     assert np.abs(w1[..., mw:] - w0[..., mw:]).max() > 0     # comm head
 
 
+def test_peragent_rng_streams_independent():
+    """Regression: the per-agent RNG call-id layout must stay inside the
+    64-id-per-step salt window of make_uniform. The old 16-per-agent
+    stride overflowed on a>=4 scenarios, making agent 4's interpret-mode
+    draws at step s bit-identical to agent 0's at step s+1 (and goal
+    resamples identical to eps coins). With independent streams, no two
+    (step, agent) action blocks can coincide."""
+    kscn, (_, act, _, _) = _traj("simple_world_comm", seed=11)
+    a = kscn.spec.n_agents
+    blocks = {}
+    for t in range(T):
+        for i in range(a):
+            key = act[t, i].tobytes()
+            assert key not in blocks, (t, i, blocks[key])
+            blocks[key] = (t, i)
+
+
 def test_sharded_fused_maddpg_equals_single():
     """8-virtual-device sharded collection reproduces the single-device
     kernel per lane (PRNG folds the global block index, so the streams
@@ -132,8 +149,15 @@ def test_sharded_fused_maddpg_equals_single():
     sharded = sharded_fused_maddpg_trajectory(
         kscn, actor, n_envs=n_envs, n_steps=8, mesh=mesh, horizon=HOR,
         block_envs=bs, t_chunk=4, interpret=True)(3, actor)
-    for s, d in zip(single, sharded):
+    obs_s, act_s, rew_s, obs2_s = single
+    obs_d, act_d, rew_d, obs2_d = sharded
+    # streams and state are placement-invariant BITWISE
+    for s, d in ((obs_s, obs_d), (act_s, act_d), (obs2_s, obs2_d)):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(d))
+    # the reward's cross-entity sum may be reassociated differently by
+    # XLA between the two program shapes — last-ulp only
+    np.testing.assert_allclose(np.asarray(rew_s), np.asarray(rew_d),
+                               rtol=0, atol=1e-5)
 
 
 def test_build_fused_collect_fills_ring_and_trains():
