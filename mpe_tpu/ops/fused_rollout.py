@@ -89,7 +89,7 @@ def spread_physics_block(spec: ScenarioSpec, apos, avel, move):
             d2 = jnp.sum(jnp.square(delta), axis=0, keepdims=True)
             # rsqrt + multiplies instead of sqrt + divide: one slow VPU
             # op per pair instead of two (dist = d2*rsqrt(d2))
-            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))      # [1, N]
+            inv = jax.lax.rsqrt(jnp.maximum(d2, float(jnp.finfo(dtype).tiny)))
             dist = d2 * inv
             dmin = float(spec.size[i] + spec.size[j])
             pen = jnp.logaddexp(jnp.zeros((), dtype), -(dist - dmin) / k) * k

@@ -62,7 +62,7 @@ def generic_physics_block(spec: ScenarioSpec, pos, vel, move):
             d2 = jnp.sum(jnp.square(delta), axis=0, keepdims=True)
             # rsqrt + multiplies instead of sqrt + divide (see
             # spread_physics_block)
-            inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))
+            inv = jax.lax.rsqrt(jnp.maximum(d2, float(jnp.finfo(dtype).tiny)))
             dist = d2 * inv
             dmin = float(spec.size[i] + spec.size[j])
             pen = jnp.logaddexp(jnp.zeros((), dtype), -(dist - dmin) / k) * k
@@ -86,7 +86,7 @@ def generic_physics_block(spec: ScenarioSpec, pos, vel, move):
         ms = float(spec.max_speed[i])
         if np.isfinite(ms):
             s2 = jnp.sum(jnp.square(v), axis=0, keepdims=True)
-            inv_s = jax.lax.rsqrt(jnp.maximum(s2, 1e-60))
+            inv_s = jax.lax.rsqrt(jnp.maximum(s2, float(jnp.finfo(dtype).tiny)))
             v = jnp.where(s2 > ms * ms, v * (ms * inv_s), v)
         new_vel.append(v)
         new_pos.append(pos[i] + v * dt)

@@ -113,6 +113,15 @@ def mxu_physics_prep(spec, dtype, min_pairs: int = 4):
         "inv_mass_dt": const_col(
             [float(spec.dt) / float(spec.initial_mass[i // p])
              if spec.movable[i // p] else 0.0 for i in range(ep)], dtype),
+        # non-movable rows are integration no-ops in core.py:158-169:
+        # damping factor 1 and dt 0 keep their vel/pos bit-identical to
+        # the unrolled path even if a caller hands in nonzero velocity
+        "damp": const_col(
+            [1.0 - float(spec.damping) if spec.movable[i // p] else 1.0
+             for i in range(ep)], dtype),
+        "dt": const_col(
+            [float(spec.dt) if spec.movable[i // p] else 0.0
+             for i in range(ep)], dtype),
     }
     s_rows = [dict() for _ in range(ep)]
     for kidx, (i, j) in enumerate(pairs):
@@ -161,8 +170,6 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4,
     n = pos.shape[-1]
     k_margin = float(spec.contact_margin)
     cf = float(spec.contact_force)
-    damping = float(spec.damping)
-    dt = float(spec.dt)
     if prep is None:
         prep = mxu_physics_prep(spec, dtype, min_pairs)
 
@@ -177,7 +184,7 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4,
     d2 = jnp.zeros((kp, n), dtype)
     for d in range(p):
         d2 = d2 + jnp.square(delta[d * kp : (d + 1) * kp])
-    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-60))
+    inv = jax.lax.rsqrt(jnp.maximum(d2, float(jnp.finfo(dtype).tiny)))
     dist = d2 * inv
     pen = jnp.logaddexp(jnp.zeros((), dtype),
                         -(dist - prep["dmin"]) / k_margin) * k_margin
@@ -194,15 +201,14 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4,
         + ([jnp.zeros(((e - a) * p, n), dtype)] if e > a else []), axis=0)
 
     # packed integration: damping-before-force (core.py:129-140), then
-    # per-agent speed clamp, then position. Non-movable rows get zero
-    # force and zero dt/mass, and their velocity is identically zero in
-    # every rollout, so the uniform update leaves them untouched.
-    v = vel_flat * (1.0 - damping) + (force + u_flat) * prep["inv_mass_dt"]
+    # per-agent speed clamp, then position. Non-movable rows are exact
+    # no-ops: per-row damping 1 / dt 0 / force scale 0 (prep columns)
+    v = vel_flat * prep["damp"] + (force + u_flat) * prep["inv_mass_dt"]
 
     if "Sel" in prep:
         s2 = jnp.dot(prep["Sel"], jnp.square(v), precision=_HI)  # [C, N]
         ms = prep["ms"]
-        inv_s = jax.lax.rsqrt(jnp.maximum(s2, 1e-60))
+        inv_s = jax.lax.rsqrt(jnp.maximum(s2, float(jnp.finfo(dtype).tiny)))
         factor = jnp.where(s2 > ms * ms, ms * inv_s,
                            jnp.ones((), dtype))             # [C, N]
         # expand factor back to entity rows: rows outside clamp groups
@@ -210,6 +216,6 @@ def mxu_physics_block(spec, pos, vel, move, min_pairs: int = 4,
         v = v * (1.0 + jnp.dot(prep["Expand"], factor - 1.0,
                                precision=_HI))
 
-    pos_new = pos_flat + v * dt
+    pos_new = pos_flat + v * prep["dt"]
     return (jnp.stack([pos_new[p * i : p * (i + 1)] for i in range(e)]),
             jnp.stack([v[p * i : p * (i + 1)] for i in range(e)]))

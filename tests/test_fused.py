@@ -371,3 +371,57 @@ def test_es_step_improves_or_runs():
                 for a, b in zip(jax.tree.leaves(params),
                                 jax.tree.leaves(p2)))
     assert moved
+
+
+def test_kernel_physics_exact_overlap_finite_f32():
+    """f32 regression: the rsqrt floor must be representable in the
+    kernel dtype. The old 1e-60 literal underflows to 0.0 in f32, so
+    exact overlap gave inv=rsqrt(0)=inf and f = inf*0 = NaN on the chip
+    while the f64 test suite stayed green."""
+    from mpe_tpu.ops.kernel_scenarios import generic_physics_block
+    from mpe_tpu.ops.mxu_physics import mxu_physics_block
+
+    for name, block in (("simple_spread", generic_physics_block),
+                        ("simple_tag", mxu_physics_block)):
+        spec = scenarios.load(name).spec
+        e, a = spec.n_entities, spec.n_agents
+        pos = jnp.zeros((e, 2, 8), jnp.float32)       # everyone stacked
+        vel = jnp.zeros((e, 2, 8), jnp.float32)
+        move = jnp.zeros((a, 5, 8), jnp.float32)
+        p2, v2 = block(spec, pos, vel, move)
+        assert np.isfinite(np.asarray(p2)).all(), name
+        assert np.isfinite(np.asarray(v2)).all(), name
+        # overlapped pairs: delta 0 -> exactly zero collision force
+        np.testing.assert_array_equal(np.asarray(v2), 0.0)
+
+
+def test_mxu_physics_preserves_nonmovable_rows():
+    """mxu_physics_block is a drop-in for generic_physics_block even
+    when a caller hands non-movable entities nonzero velocity: their
+    pos/vel rows pass through untouched (per-row damp/dt/mass columns),
+    exactly like the unrolled path."""
+    from mpe_tpu.ops.kernel_scenarios import generic_physics_block
+    from mpe_tpu.ops.mxu_physics import mxu_physics_block
+
+    spec = scenarios.load("simple_tag").spec          # obstacles: 4 pairs+
+    e, a = spec.n_entities, spec.n_agents
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (e, 2, 16), jnp.float64)
+    vel = jax.random.normal(jax.random.fold_in(key, 1), (e, 2, 16),
+                            jnp.float64) * 0.3        # incl. landmarks!
+    move = jax.nn.one_hot(
+        jax.random.randint(jax.random.fold_in(key, 2), (a, 16), 0, 5),
+        5, dtype=jnp.float64, axis=1)
+    pg, vg = generic_physics_block(spec, pos, vel, move)
+    pm, vm = mxu_physics_block(spec, pos, vel, move)
+    movable = np.asarray(spec.movable[:e])
+    for i in range(e):
+        if not movable[i]:
+            np.testing.assert_array_equal(np.asarray(pm[i]),
+                                          np.asarray(pos[i]))
+            np.testing.assert_array_equal(np.asarray(vm[i]),
+                                          np.asarray(vel[i]))
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pg),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vg),
+                               rtol=0, atol=1e-12)
