@@ -35,8 +35,6 @@ core.py:176 semantics — no gradient should flow through it).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -156,6 +154,83 @@ def _agent_rewards(kscn, rew):
     return rew
 
 
+def _fused_trainer(kscn, mesh, opt, traj, actor, prep, loss_fn,
+                   kernel_update, *, ppo_epochs, vf_coef, ent_coef,
+                   axis_name, fused_update, init_params, n_transitions):
+    """Shared PPO/MAPPO trainer scaffold around the fused engine: kernel
+    rollout -> ``prep`` (algo-specific batch assembly: one-hots,
+    rollout-time logp/value recompute, GAE) -> ``ppo_epochs`` epochs of
+    either the single-kernel analytic gradient (``kernel_update``) or
+    XLA ``jax.value_and_grad`` of ``loss_fn`` — gradients pmean-reduced
+    over the mesh either way. Both builders delegate here so the
+    schedule/epoch/scan/shard plumbing exists exactly once."""
+    dim_c = kscn.spec.dim_c if kscn.uses_comm else 0
+
+    def local_update(state, seed):
+        params, opt_state = state
+        my = jax.lax.axis_index(axis_name)
+        outs = traj(seed, actor(params), my * jnp.int32(traj.n_blocks))
+        if dim_c:
+            obs, act, cact, rew, last_obs = outs
+        else:
+            obs, act, rew, last_obs = outs
+            cact = act  # unused by the loss when dim_c == 0
+        batch = prep(params, obs, act, cact, rew, last_obs)
+        _, mv_oh, cm_oh, logp_old, value, adv, ret = batch
+
+        if fused_update:
+            # adv normalization hoisted out of the loss: adv is constant
+            # across epochs (identical values to the in-loss form)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                grads, (pg, vl, ent) = kernel_update(
+                    params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
+                    value)
+                loss = pg + vf_coef * vl - ent_coef * ent
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, pg, vl, ent)
+        else:
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
+            epoch, (params, opt_state), jnp.arange(ppo_epochs))
+        metrics = {
+            "loss": jax.lax.pmean(losses[-1], axis_name),
+            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
+            "v_loss": jax.lax.pmean(vls[-1], axis_name),
+            "entropy": jax.lax.pmean(ents[-1], axis_name),
+            "mean_reward": jax.lax.pmean(
+                _agent_rewards(kscn, rew).mean(), axis_name),
+        }
+        return (params, opt_state), metrics
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def sharded(state, seed):
+        return local_update(state, seed)
+
+    @jax.jit
+    def step(state, seed):
+        return sharded(state, jnp.asarray(seed, jnp.int32))
+
+    step.init_params = init_params
+    step.init_state = lambda params: (params, opt.init(params))
+    step.n_transitions = n_transitions
+    return step
+
+
 def build_fused_ppo_step(
     scenario,
     mesh: Mesh,
@@ -206,7 +281,6 @@ def build_fused_ppo_step(
     kscn = _resolve(scenario)
     compute_dtype = _resolve_dtype(compute_dtype, mesh)
     spec = kscn.spec
-    a = spec.n_agents
     mw = 2 * spec.dim_p + 1
     dim_c = spec.dim_c if kscn.uses_comm else 0
     sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
@@ -258,76 +332,24 @@ def build_fused_ppo_step(
         return (pg + vf_coef * vloss - ent_coef * ent.mean(),
                 (pg, vloss, ent.mean()))
 
-    def local_update(state, seed):
-        params, opt_state = state
-        my = jax.lax.axis_index(axis_name)
-        outs = traj(seed, actor(params), my * jnp.int32(traj.n_blocks))
-        if dim_c:
-            obs, act, cact, rew, last_obs = outs
-        else:
-            obs, act, rew, last_obs = outs
-            cact = act  # unused by the loss when dim_c == 0
-        rew_a = _agent_rewards(kscn, rew)
+    def prep(params, obs, act, cact, rew, last_obs):
+        """Per-agent values from the shared torso; GAE over per-agent
+        rewards."""
         mv_oh, cm_oh = _factored_onehots(kscn, act, cact)
         logits, value = forward(params, obs)
         logp_old, _ = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         logp_old = jax.lax.stop_gradient(logp_old)
         value = jax.lax.stop_gradient(value)
         _, last_value = forward(params, last_obs)
-        adv, ret = _gae_minor(value, rew_a, nonterm_t,
+        adv, ret = _gae_minor(value, _agent_rewards(kscn, rew), nonterm_t,
                               jax.lax.stop_gradient(last_value), gamma, lam)
-        batch = (obs, mv_oh, cm_oh, logp_old, value, adv, ret)
+        return obs, mv_oh, cm_oh, logp_old, value, adv, ret
 
-        if fused_update:
-            # adv normalization hoisted out of the loss: adv is constant
-            # across epochs (identical values to the in-loss form)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-
-            def epoch(carry, _):
-                params, opt_state = carry
-                grads, (pg, vl, ent) = kernel_update(
-                    params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
-                    value)
-                loss = pg + vf_coef * vl - ent_coef * ent
-                grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, pg, vl, ent)
-        else:
-
-            def epoch(carry, _):
-                params, opt_state = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, batch)
-                grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
-
-        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
-            epoch, (params, opt_state), jnp.arange(ppo_epochs))
-        metrics = {
-            "loss": jax.lax.pmean(losses[-1], axis_name),
-            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
-            "v_loss": jax.lax.pmean(vls[-1], axis_name),
-            "entropy": jax.lax.pmean(ents[-1], axis_name),
-            "mean_reward": jax.lax.pmean(rew_a.mean(), axis_name),
-        }
-        return (params, opt_state), metrics
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P()),
-             out_specs=(P(), P()), check_vma=False)
-    def sharded(state, seed):
-        return local_update(state, seed)
-
-    @jax.jit
-    def ppo_step(state, seed):
-        return sharded(state, jnp.asarray(seed, jnp.int32))
-
-    ppo_step.init_params = init_params
-    ppo_step.init_state = lambda params: (params, opt.init(params))
-    ppo_step.n_transitions = n_envs * n_steps  # env-steps per call
-    return ppo_step
+    return _fused_trainer(
+        kscn, mesh, opt, traj, actor, prep, loss_fn, kernel_update,
+        ppo_epochs=ppo_epochs, vf_coef=vf_coef, ent_coef=ent_coef,
+        axis_name=axis_name, fused_update=fused_update,
+        init_params=init_params, n_transitions=n_envs * n_steps)
 
 
 def build_fused_mappo_step(
@@ -409,10 +431,6 @@ def build_fused_mappo_step(
         h = _torso_minor(params["c1"], params["c2"], joint, compute_dtype)
         return _head_minor(params["v"], h, compute_dtype)[..., 0, :]
 
-    def team_reward(rew):
-        rew_a = _agent_rewards(kscn, rew)
-        return rew_a.mean(axis=-2)
-
     def loss_fn(params, batch):
         obs, mv_oh, cm_oh, logp_old, value_old, adv, ret = batch
         logits = actor_logits(params, obs)
@@ -430,73 +448,22 @@ def build_fused_mappo_step(
         return (pg + vf_coef * vloss - ent_coef * ent.mean(),
                 (pg, vloss, ent.mean()))
 
-    def local_update(state, seed):
-        params, opt_state = state
-        my = jax.lax.axis_index(axis_name)
-        outs = traj(seed, actor(params), my * jnp.int32(traj.n_blocks))
-        if dim_c:
-            obs, act, cact, rew, last_obs = outs
-        else:
-            obs, act, rew, last_obs = outs
-            cact = act
+    def prep(params, obs, act, cact, rew, last_obs):
+        """Centralized value on the joint obs [T, N]; GAE over the TEAM
+        reward (mean across agents)."""
         mv_oh, cm_oh = _factored_onehots(kscn, act, cact)
         logits = actor_logits(params, obs)
         logp_old, _ = _factored_logp_ent(kscn, logits, mv_oh, cm_oh)
         logp_old = jax.lax.stop_gradient(logp_old)
         value = jax.lax.stop_gradient(central_value(params, obs))
         last_value = jax.lax.stop_gradient(central_value(params, last_obs))
-        adv, ret = _gae_minor(value, team_reward(rew), nonterm_t,
+        team_rew = _agent_rewards(kscn, rew).mean(axis=-2)
+        adv, ret = _gae_minor(value, team_rew, nonterm_t,
                               last_value, gamma, lam)
-        batch = (obs, mv_oh, cm_oh, logp_old, value, adv, ret)
+        return obs, mv_oh, cm_oh, logp_old, value, adv, ret
 
-        if fused_update:
-            # adv normalization hoisted out of the loss: adv is constant
-            # across epochs (identical values to the in-loss form)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-
-            def epoch(carry, _):
-                params, opt_state = carry
-                grads, (pg, vl, ent) = kernel_update(
-                    params, obs, mv_oh, cm_oh, logp_old, adv_n, ret,
-                    value)
-                loss = pg + vf_coef * vl - ent_coef * ent
-                grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, pg, vl, ent)
-        else:
-
-            def epoch(carry, _):
-                params, opt_state = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, batch)
-                grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
-
-        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
-            epoch, (params, opt_state), jnp.arange(ppo_epochs))
-        metrics = {
-            "loss": jax.lax.pmean(losses[-1], axis_name),
-            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
-            "v_loss": jax.lax.pmean(vls[-1], axis_name),
-            "entropy": jax.lax.pmean(ents[-1], axis_name),
-            "mean_reward": jax.lax.pmean(
-                _agent_rewards(kscn, rew).mean(), axis_name),
-        }
-        return (params, opt_state), metrics
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P()),
-             out_specs=(P(), P()), check_vma=False)
-    def sharded(state, seed):
-        return local_update(state, seed)
-
-    @jax.jit
-    def mappo_step(state, seed):
-        return sharded(state, jnp.asarray(seed, jnp.int32))
-
-    mappo_step.init_params = init_params
-    mappo_step.init_state = lambda params: (params, opt.init(params))
-    mappo_step.n_transitions = n_envs * n_steps
-    return mappo_step
+    return _fused_trainer(
+        kscn, mesh, opt, traj, actor, prep, loss_fn, kernel_update,
+        ppo_epochs=ppo_epochs, vf_coef=vf_coef, ent_coef=ent_coef,
+        axis_name=axis_name, fused_update=fused_update,
+        init_params=init_params, n_transitions=n_envs * n_steps)

@@ -72,6 +72,114 @@ def _softmax_rows(z):
     return p, ls, ent
 
 
+# ---- shared kernel pieces (identical math in the PPO and MAPPO update
+# kernels; factored so a fix to the hand-derived forms lands in both) --
+
+
+def _cat_lanes(ref, t, a):
+    """Block ref [t_chunk, A, R, nb] -> [R, A*nb]. Each agent's tile is
+    loaded straight from the ref: slicing an already-loaded [A, nb]
+    vector leaves the rows at sublane offsets 1..A-1, and Mosaic refuses
+    to lane-concat vectors with mismatched sublane offsets — fresh loads
+    all sit at offset 0."""
+    return jnp.concatenate([ref[t, i] for i in range(a)], axis=-1)
+
+
+def _cat_rows(ref, t, a):                   # [t_chunk, A, nb] -> [1, A*nb]
+    return jnp.concatenate([ref[t, i : i + 1] for i in range(a)], axis=-1)
+
+
+def _speak_mask(spec, nb, at):
+    """[1, A*nb] lane-concatenated per-agent speak mask (silent agents
+    contribute no comm factor)."""
+    return jnp.concatenate(
+        [jnp.full((1, nb), 0.0 if spec.silent[i] else 1.0, at)
+         for i in range(spec.n_agents)], axis=1)
+
+
+def _policy_logit_grad(z, mvoh, cmoh, lpo, adv, speak, *, mw, dim_c,
+                       clip, ent_coef, inv_b, at):
+    """Clipped-surrogate + entropy gradient at the policy logits
+    ``z`` [K, M] (factored move/comm heads):
+
+      d pg / d logits = -(adv*ratio) * [r*adv <= clip(r)*adv] * (oh-p)/B
+      d (-ent_coef H) =  ent_coef * p * (ls + H) / B
+
+    Returns (g [K, M], ent [1, M], s1, s2) where s1/s2 are the
+    surrogate terms for the metric sums."""
+    p, ls, ent_m = _softmax_rows(z[:mw])
+    lp = jnp.sum(ls * mvoh, axis=0, keepdims=True)
+    ent = ent_m
+    if dim_c:
+        pc, lsc, ent_c = _softmax_rows(z[mw : mw + dim_c])
+        lp = lp + jnp.sum(lsc * cmoh, axis=0, keepdims=True) * speak
+        ent = ent_m + ent_c * speak
+
+    ratio = jnp.exp(lp - lpo)
+    rc = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+    s1 = ratio * adv
+    s2 = rc * adv
+    unclipped = (s1 <= s2).astype(at)
+    cpg = -(adv * ratio) * unclipped * inv_b
+
+    # entropy grads use each HEAD's own entropy (the factors are
+    # independent: dH_total/dz_move = dH_move/dz_move)
+    gpi = cpg * (mvoh - p) + (ent_coef * inv_b) * p * (ls + ent_m)
+    parts = [gpi]
+    if dim_c:
+        parts.append((cpg * (cmoh - pc)
+                      + (ent_coef * inv_b) * pc * (lsc + ent_c)) * speak)
+    g = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return g, ent, s1, s2
+
+
+def _value_clip_grad(v, vold, ret, *, clip, vf_coef, inv, at):
+    """PPO-style clipped value loss gradient at the value output:
+    d vf vloss / d v = vf_coef * 2 (v-ret) * [(v-ret)^2 >= (vc-ret)^2]/B.
+    Returns (gv, vl_terms) with vl_terms the per-element loss for the
+    metric sum."""
+    vc = vold + jnp.clip(v - vold, -clip, clip)
+    dv_live = (jnp.square(v - ret) >= jnp.square(vc - ret)).astype(at)
+    gv = (vf_coef * 2.0 * inv) * (v - ret) * dv_live
+    vl_terms = jnp.maximum(jnp.square(v - ret), jnp.square(vc - ret))
+    return gv, vl_terms
+
+
+def _mlp_backprop_acc(acc, base, x, h1, h2, g3, w2t, w3t, cd):
+    """Backprop ``g3`` through the two tanh layers and accumulate the
+    six weight/bias gradients into ``acc[base:base+6]``."""
+    gh2 = _dot(w3t[:], g3, cd) * (1.0 - jnp.square(h2))
+    gh1 = _dot(w2t[:], gh2, cd) * (1.0 - jnp.square(h1))
+    acc[base + 0] = acc[base + 0] + _dot_nt(gh1, x, cd)
+    acc[base + 1] = acc[base + 1] + jnp.sum(gh1, axis=1, keepdims=True)
+    acc[base + 2] = acc[base + 2] + _dot_nt(gh2, h1, cd)
+    acc[base + 3] = acc[base + 3] + jnp.sum(gh2, axis=1, keepdims=True)
+    acc[base + 4] = acc[base + 4] + _dot_nt(g3, h2, cd)
+    acc[base + 5] = acc[base + 5] + jnp.sum(g3, axis=1, keepdims=True)
+
+
+def _metric_sums(s1, s2, vl_terms, ent, at):
+    """[4, 1] column of (pg, vloss, entropy, 0) sums for this tile."""
+    pg_s = jnp.sum(-jnp.minimum(s1, s2), axis=1, keepdims=True)
+    vl_s = jnp.sum(vl_terms, axis=1, keepdims=True)
+    ent_s = jnp.sum(ent, axis=1, keepdims=True)
+    return jnp.concatenate([pg_s, vl_s, ent_s, jnp.zeros((1, 1), at)],
+                           axis=0)
+
+
+def _whole_spec(shape):
+    return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                        memory_space=pltpu.VMEM)
+
+
+def _batch_spec(t_chunk, block_envs, *row):  # [T, ..., N] chunked blocks
+    nd = len(row)
+    return pl.BlockSpec(
+        (t_chunk, *row, block_envs),
+        lambda i, j, nd=nd: (j, *([0] * nd), i),
+        memory_space=pltpu.VMEM)
+
+
 def _update_kernel(
     obs_ref, mvoh_ref, cmoh_ref, lpo_ref, adv_ref, ret_ref, vold_ref,
     w1, b1, w2, b2, w3, b3, w2t, w3t,
@@ -94,24 +202,7 @@ def _update_kernel(
         for ref in (dw1, db1, dw2, db2, dw3, db3, msum):
             ref[:] = jnp.zeros_like(ref)
 
-    # silent agents contribute no comm factor (lane-concat layout)
-    if dim_c:
-        speak = jnp.concatenate(
-            [jnp.full((1, nb), 0.0 if spec.silent[i] else 1.0, at)
-             for i in range(a)], axis=1)
-
-    def cat_lanes(ref, t):
-        """Block ref [t_chunk, A, R, nb] -> [R, A*nb]. Each agent's tile
-        is loaded straight from the ref: slicing an already-loaded
-        [A, nb] vector leaves the rows at sublane offsets 1..A-1, and
-        Mosaic refuses to lane-concat vectors with mismatched sublane
-        offsets ("result/input offset mismatch on non-concat
-        dimension") — fresh loads all sit at offset 0."""
-        return jnp.concatenate([ref[t, i] for i in range(a)], axis=-1)
-
-    def cat_rows(ref, t):                   # [t_chunk, A, nb] -> [1, A*nb]
-        return jnp.concatenate([ref[t, i : i + 1] for i in range(a)],
-                               axis=-1)
+    speak = _speak_mask(spec, nb, at) if dim_c else None
 
     acc = [jnp.zeros_like(dw1[:]), jnp.zeros_like(db1[:]),
            jnp.zeros_like(dw2[:]), jnp.zeros_like(db2[:]),
@@ -119,68 +210,28 @@ def _update_kernel(
            jnp.zeros_like(msum[:])]
 
     for t in range(t_chunk):
-        x = cat_lanes(obs_ref, t)           # [OW, A*nb]
-        mvoh = cat_lanes(mvoh_ref, t)       # [mw, A*nb]
-        lpo = cat_rows(lpo_ref, t)          # [1, A*nb]
-        adv = cat_rows(adv_ref, t)
-        ret = cat_rows(ret_ref, t)
-        vold = cat_rows(vold_ref, t)
+        x = _cat_lanes(obs_ref, t, a)       # [OW, A*nb]
+        mvoh = _cat_lanes(mvoh_ref, t, a)   # [mw, A*nb]
+        cmoh = _cat_lanes(cmoh_ref, t, a) if dim_c else None
+        lpo = _cat_rows(lpo_ref, t, a)      # [1, A*nb]
+        adv = _cat_rows(adv_ref, t, a)
+        ret = _cat_rows(ret_ref, t, a)
+        vold = _cat_rows(vold_ref, t, a)
 
         h1 = jnp.tanh(_dot(w1[:], x, cd) + b1[:])
         h2 = jnp.tanh(_dot(w2[:], h1, cd) + b2[:])
         z = _dot(w3[:], h2, cd) + b3[:]     # [KO, A*nb]
-
-        p, ls, ent_m = _softmax_rows(z[:mw])
-        lp = jnp.sum(ls * mvoh, axis=0, keepdims=True)
-        ent = ent_m
-        if dim_c:
-            cmoh = cat_lanes(cmoh_ref, t)
-            pc, lsc, ent_c = _softmax_rows(z[mw : mw + dim_c])
-            lp = lp + jnp.sum(lsc * cmoh, axis=0, keepdims=True) * speak
-            ent = ent_m + ent_c * speak
         v = z[ko - 1 : ko]                  # [1, A*nb]
 
-        ratio = jnp.exp(lp - lpo)
-        rc = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
-        s1 = ratio * adv
-        s2 = rc * adv
-        unclipped = (s1 <= s2).astype(at)
-        cpg = -(adv * ratio) * unclipped * inv_b      # d pg / d lp
+        gp, ent, s1, s2 = _policy_logit_grad(
+            z, mvoh, cmoh, lpo, adv, speak, mw=mw, dim_c=dim_c,
+            clip=clip, ent_coef=ent_coef, inv_b=inv_b, at=at)
+        gv, vl_terms = _value_clip_grad(
+            v, vold, ret, clip=clip, vf_coef=vf_coef, inv=inv_b, at=at)
+        g3 = jnp.concatenate([gp, gv], axis=0)       # [KO, A*nb]
 
-        vc = vold + jnp.clip(v - vold, -clip, clip)
-        dv_live = (jnp.square(v - ret)
-                   >= jnp.square(vc - ret)).astype(at)
-        gv = (vf_coef * 2.0 * inv_b) * (v - ret) * dv_live
-
-        # entropy grads use each HEAD's own entropy (the factors are
-        # independent: dH_total/dz_move = dH_move/dz_move)
-        gpi = cpg * (mvoh - p) + (ent_coef * inv_b) * p * (ls + ent_m)
-        parts = [gpi]
-        if dim_c:
-            gc = (cpg * (cmoh - pc)
-                  + (ent_coef * inv_b) * pc * (lsc + ent_c)) * speak
-            parts.append(gc)
-        parts.append(gv)
-        g3 = jnp.concatenate(parts, axis=0)          # [KO, A*nb]
-
-        gh2 = _dot(w3t[:], g3, cd) * (1.0 - jnp.square(h2))
-        gh1 = _dot(w2t[:], gh2, cd) * (1.0 - jnp.square(h1))
-
-        acc[0] = acc[0] + _dot_nt(gh1, x, cd)        # dw1 [H, OW]
-        acc[1] = acc[1] + jnp.sum(gh1, axis=1, keepdims=True)
-        acc[2] = acc[2] + _dot_nt(gh2, h1, cd)
-        acc[3] = acc[3] + jnp.sum(gh2, axis=1, keepdims=True)
-        acc[4] = acc[4] + _dot_nt(g3, h2, cd)
-        acc[5] = acc[5] + jnp.sum(g3, axis=1, keepdims=True)
-
-        # metric sums: pg, vloss, entropy (means composed outside)
-        pg_s = jnp.sum(-jnp.minimum(s1, s2), axis=1, keepdims=True)
-        vl_s = jnp.sum(jnp.maximum(jnp.square(v - ret),
-                                   jnp.square(vc - ret)),
-                       axis=1, keepdims=True)
-        ent_s = jnp.sum(ent, axis=1, keepdims=True)
-        acc[6] = acc[6] + jnp.concatenate(
-            [pg_s, vl_s, ent_s, jnp.zeros((1, 1), at)], axis=0)
+        _mlp_backprop_acc(acc, 0, x, h1, h2, g3, w2t, w3t, cd)
+        acc[6] = acc[6] + _metric_sums(s1, s2, vl_terms, ent, at)
 
     for ref, val in zip((dw1, db1, dw2, db2, dw3, db3, msum), acc):
         ref[:] = ref[:] + val
@@ -218,94 +269,41 @@ def _mappo_update_kernel(
         for ref in outs:
             ref[:] = jnp.zeros_like(ref)
 
-    if dim_c:
-        speak = jnp.concatenate(
-            [jnp.full((1, block_envs), 0.0 if spec.silent[i] else 1.0, at)
-             for i in range(a)], axis=1)
-
-    def cat_lanes(ref, t):                  # -> [R, A*nb]
-        return jnp.concatenate([ref[t, i] for i in range(a)], axis=-1)
-
-    def cat_rows(ref, t):                   # [t_chunk, A, nb] -> [1, A*nb]
-        return jnp.concatenate([ref[t, i : i + 1] for i in range(a)],
-                               axis=-1)
+    speak = _speak_mask(spec, block_envs, at) if dim_c else None
 
     acc = [jnp.zeros_like(r[:]) for r in outs]
 
     for t in range(t_chunk):
-        x = cat_lanes(obs_ref, t)           # [OW, A*nb]
+        x = _cat_lanes(obs_ref, t, a)       # [OW, A*nb]
         xj = jnp.concatenate([obs_ref[t, i] for i in range(a)],
                              axis=0)        # joint obs [A*OW, nb]
-        mvoh = cat_lanes(mvoh_ref, t)
-        lpo = cat_rows(lpo_ref, t)
+        mvoh = _cat_lanes(mvoh_ref, t, a)
+        cmoh = _cat_lanes(cmoh_ref, t, a) if dim_c else None
+        lpo = _cat_rows(lpo_ref, t, a)
         adv1 = adv_ref[t]                   # [1, nb] team adv
         adv = jnp.concatenate([adv1] * a, axis=-1)    # [1, A*nb]
         ret = ret_ref[t]                    # [1, nb]
         vold = vold_ref[t]
 
-        # actor forward
+        # actor forward + pg/entropy gradient at its logits
         h1 = jnp.tanh(_dot(w1a[:], x, cd) + b1a[:])
         h2 = jnp.tanh(_dot(w2a[:], h1, cd) + b2a[:])
         z = _dot(w3a[:], h2, cd) + b3a[:]   # [K, A*nb]
-        p, ls, ent_m = _softmax_rows(z[:mw])
-        lp = jnp.sum(ls * mvoh, axis=0, keepdims=True)
-        ent = ent_m
-        if dim_c:
-            cmoh = cat_lanes(cmoh_ref, t)
-            pc, lsc, ent_c = _softmax_rows(z[mw : mw + dim_c])
-            lp = lp + jnp.sum(lsc * cmoh, axis=0, keepdims=True) * speak
-            ent = ent_m + ent_c * speak
+        g3, ent, s1, s2 = _policy_logit_grad(
+            z, mvoh, cmoh, lpo, adv, speak, mw=mw, dim_c=dim_c,
+            clip=clip, ent_coef=ent_coef, inv_b=inv_b, at=at)
+        _mlp_backprop_acc(acc, 0, x, h1, h2, g3, w2at, w3at, cd)
 
-        # critic forward
+        # centralized critic forward + clipped value-loss gradient (its
+        # mean is over [T, N] — inv_bv — vs the actor's [T, A, N])
         g1 = jnp.tanh(_dot(w1c[:], xj, cd) + b1c[:])
         g2 = jnp.tanh(_dot(w2c[:], g1, cd) + b2c[:])
         v = _dot(w3c[:], g2, cd) + b3c[:]   # [1, nb]
+        gv, vl_terms = _value_clip_grad(
+            v, vold, ret, clip=clip, vf_coef=vf_coef, inv=inv_bv, at=at)
+        _mlp_backprop_acc(acc, 6, xj, g1, g2, gv, w2ct, w3ct, cd)
 
-        # pg + entropy gradient at the actor logits
-        ratio = jnp.exp(lp - lpo)
-        rc = jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
-        s1 = ratio * adv
-        s2 = rc * adv
-        unclipped = (s1 <= s2).astype(at)
-        cpg = -(adv * ratio) * unclipped * inv_b
-        gpi = cpg * (mvoh - p) + (ent_coef * inv_b) * p * (ls + ent_m)
-        parts = [gpi]
-        if dim_c:
-            gc = (cpg * (cmoh - pc)
-                  + (ent_coef * inv_b) * pc * (lsc + ent_c)) * speak
-            parts.append(gc)
-        g3 = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=0)                  # [K, A*nb]
-
-        gh2 = _dot(w3at[:], g3, cd) * (1.0 - jnp.square(h2))
-        gh1 = _dot(w2at[:], gh2, cd) * (1.0 - jnp.square(h1))
-        acc[0] = acc[0] + _dot_nt(gh1, x, cd)
-        acc[1] = acc[1] + jnp.sum(gh1, axis=1, keepdims=True)
-        acc[2] = acc[2] + _dot_nt(gh2, h1, cd)
-        acc[3] = acc[3] + jnp.sum(gh2, axis=1, keepdims=True)
-        acc[4] = acc[4] + _dot_nt(g3, h2, cd)
-        acc[5] = acc[5] + jnp.sum(g3, axis=1, keepdims=True)
-
-        # clipped value-loss gradient at the critic output
-        vc = vold + jnp.clip(v - vold, -clip, clip)
-        dv_live = (jnp.square(v - ret) >= jnp.square(vc - ret)).astype(at)
-        gv = (vf_coef * 2.0 * inv_bv) * (v - ret) * dv_live   # [1, nb]
-        gg2 = _dot(w3ct[:], gv, cd) * (1.0 - jnp.square(g2))
-        gg1 = _dot(w2ct[:], gg2, cd) * (1.0 - jnp.square(g1))
-        acc[6] = acc[6] + _dot_nt(gg1, xj, cd)
-        acc[7] = acc[7] + jnp.sum(gg1, axis=1, keepdims=True)
-        acc[8] = acc[8] + _dot_nt(gg2, g1, cd)
-        acc[9] = acc[9] + jnp.sum(gg2, axis=1, keepdims=True)
-        acc[10] = acc[10] + _dot_nt(gv, g2, cd)
-        acc[11] = acc[11] + jnp.sum(gv, axis=1, keepdims=True)
-
-        pg_s = jnp.sum(-jnp.minimum(s1, s2), axis=1, keepdims=True)
-        vl_s = jnp.sum(jnp.maximum(jnp.square(v - ret),
-                                   jnp.square(vc - ret)),
-                       axis=1, keepdims=True)
-        ent_s = jnp.sum(ent, axis=1, keepdims=True)
-        acc[12] = acc[12] + jnp.concatenate(
-            [pg_s, vl_s, ent_s, jnp.zeros((1, 1), at)], axis=0)
+        acc[12] = acc[12] + _metric_sums(s1, s2, vl_terms, ent, at)
 
     for ref, val in zip(outs, acc):
         ref[:] = ref[:] + val
@@ -354,12 +352,7 @@ def fused_mappo_update(
         vf_coef=vf_coef, ent_coef=ent_coef, inv_b=inv_b, inv_bv=inv_bv,
         cd=compute_dtype)
 
-    def batch_spec(*row):
-        nd = len(row)
-        return pl.BlockSpec(
-            (t_chunk, *row, block_envs),
-            lambda i, j, nd=nd: (j, *([0] * nd), i),
-            memory_space=pltpu.VMEM)
+    batch_spec = functools.partial(_batch_spec, t_chunk, block_envs)
 
     in_specs = [batch_spec(a, ow), batch_spec(a, mw)]
     in_specs.append(batch_spec(a, dim_c) if dim_c else batch_spec(a))
@@ -367,9 +360,7 @@ def fused_mappo_update(
     in_specs += [batch_spec(1)] * 3          # adv, ret, vold [T, 1, N]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16  # weights
 
-    whole = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple([0] * len(shape)),
-        memory_space=pltpu.VMEM)
+    whole = _whole_spec
     out_specs = (whole((h, ow)), whole((h, 1)), whole((h, h)),
                  whole((h, 1)), whole((k, h)), whole((k, 1)),
                  whole((h, a * ow)), whole((h, 1)), whole((h, h)),
@@ -462,12 +453,7 @@ def fused_ppo_update(
         vf_coef=vf_coef, ent_coef=ent_coef, inv_b=inv_b,
         cd=compute_dtype)
 
-    def batch_spec(*row):                    # [T, ..., N] chunked blocks
-        nd = len(row)
-        return pl.BlockSpec(
-            (t_chunk, *row, block_envs),
-            lambda i, j, nd=nd: (j, *([0] * nd), i),
-            memory_space=pltpu.VMEM)
+    batch_spec = functools.partial(_batch_spec, t_chunk, block_envs)
 
     in_specs = [
         batch_spec(a, ow),                   # obs
@@ -480,9 +466,7 @@ def fused_ppo_update(
     in_specs += [batch_spec(a)] * 4          # lpo, adv, ret, vold
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8   # weights
 
-    whole = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple([0] * len(shape)),
-        memory_space=pltpu.VMEM)
+    whole = _whole_spec
     out_specs = (whole((h, ow)), whole((h, 1)), whole((h, h)),
                  whole((h, 1)), whole((ko, h)), whole((ko, 1)),
                  whole((4, 1)))
