@@ -92,7 +92,9 @@ def main():
     scn = scenarios.load(args.scenario)
     env = MpeEnv(scn)
     mesh = env_mesh()
-    n_envs = args.n_envs - args.n_envs % mesh.devices.size
+    # round down to a device multiple, but never to zero
+    n_envs = max(args.n_envs - args.n_envs % mesh.devices.size,
+                 mesh.devices.size)
     key = jax.random.PRNGKey(1)
     if args.algo == "maddpg":
         import jax.numpy as jnp

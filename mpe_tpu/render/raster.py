@@ -330,15 +330,21 @@ class Canvas:
 
     def blit(self, world_corners, img):
         (x0, y0), (x1, y1) = self.to_px(world_corners)
-        c0, c1 = int(min(x0, x1)), int(max(x0, x1))
-        r0, r1 = int(min(y0, y1)), int(max(y0, y1))
-        c0, r0 = max(c0, 0), max(r0, 0)
-        c1, r1 = min(c1, self.width), min(r1, self.height)
+        fc0, fc1 = int(min(x0, x1)), int(max(x0, x1))
+        fr0, fr1 = int(min(y0, y1)), int(max(y0, y1))
+        if fr1 <= fr0 or fc1 <= fc0:
+            return
+        c0, r0 = max(fc0, 0), max(fr0, 0)
+        c1, r1 = min(fc1, self.width), min(fr1, self.height)
         if r1 <= r0 or c1 <= c0:
             return
-        h, w = r1 - r0, c1 - c0
-        ri = (np.arange(h) * img.shape[0] // max(h, 1))
-        ci = (np.arange(w) * img.shape[1] // max(w, 1))
+        # sample the texture over the FULL destination rect, then keep
+        # only the on-canvas rows/cols — a partially off-canvas image is
+        # cropped (the reference's GL quad clips at the viewport), not
+        # squashed into the visible sliver
+        fh, fw = fr1 - fr0, fc1 - fc0
+        ri = (np.arange(r0 - fr0, r1 - fr0) * img.shape[0] // fh)
+        ci = (np.arange(c0 - fc0, c1 - fc0) * img.shape[1] // fw)
         patch = img[ri][:, ci, :3].astype(np.float64)
         if patch.max() > 1.0:
             patch = patch / 255.0

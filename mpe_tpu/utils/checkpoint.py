@@ -63,6 +63,14 @@ def load_checkpoint(path: str, like) -> tuple:
     assert treedef.num_leaves == meta["n_leaves"], (
         f"checkpoint has {meta['n_leaves']} leaves, template has "
         f"{treedef.num_leaves}")
+    # equal leaf counts are not enough: a renamed/reordered field keeps
+    # the count while flatten order changes, silently misassigning
+    # arrays — compare the full saved structure
+    if meta["treedef"] != str(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  saved:    {meta['treedef']}\n"
+            f"  template: {treedef}")
     payload = jax.tree.unflatten(treedef, leaves)
     return payload, meta["step"], meta["extra"]
 

@@ -230,3 +230,37 @@ def test_raster_geometry_coverage():
     v.draw_circle(0.2, color=(1.0, 0.0, 0.0))
     v.render()
     assert v.onetime_geoms == []
+
+
+def test_blit_offcanvas_crops_not_squashes():
+    """A partially off-canvas image is CROPPED at the viewport (the
+    reference GL quad clips): on-canvas pixels come from the visible
+    part of the texture, not the whole texture compressed into the
+    sliver."""
+    from mpe_tpu.render.raster import Canvas
+
+    c = Canvas(10, 10)          # world bounds [-1, 1]^2
+    img = np.zeros((2, 10, 3), np.float64)
+    img[:, :5] = [1.0, 0.0, 0.0]            # left half red
+    img[:, 5:] = [0.0, 0.0, 1.0]            # right half blue
+    # image spans x in [-3, 1]: the left (red) half is entirely
+    # off-canvas; only the right (blue) half lands on screen
+    c.blit([(-3.0, -0.2), (1.0, 0.2)], img)
+    visible = c.buf[4:6, :, :]               # the blitted rows
+    drawn = visible[np.any(visible != 1.0, axis=-1)]
+    assert len(drawn) > 0
+    assert (drawn[:, 2] > 0.9).all() and (drawn[:, 0] < 0.1).all()
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """Equal leaf COUNT with different structure must raise, not
+    silently misassign (renamed/reordered fields change flatten order)."""
+    import pytest
+
+    from mpe_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, {"alpha": np.ones(2), "beta": np.zeros(3)})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(p, {"state": {"beta2": np.zeros(3),
+                                      "alpha2": np.ones(2)}})
