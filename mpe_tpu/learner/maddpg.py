@@ -384,9 +384,6 @@ def build_fused_collect(
 
     @jax.jit
     def collect_chunk(actor_params, buffer: Buffer, seed):
-        assert buffer.obs.shape[0] % rows_per_chunk == 0, (
-            "ring capacity must be a chunk multiple so inserts wrap "
-            "cleanly (dynamic_update_slice clamps, it does not wrap)")
         obs, act, rew, obs2 = traj(seed, actor_params)
         rew_a = _agent_rewards(kscn, rew)                 # [T, A, N]
 
@@ -394,16 +391,19 @@ def build_fused_collect(
             return jnp.moveaxis(x, -1, 1).reshape((rows_per_chunk,)
                                                   + x.shape[1:-1])
 
-        idx = buffer.ptr
-        upd = jax.lax.dynamic_update_slice_in_dim
+        cap = buffer.obs.shape[0]
+        # modular row indices: correct for ANY ptr, including one left
+        # misaligned by interleaved per-step collect_fn inserts (a
+        # dynamic_update_slice would CLAMP at the capacity edge instead
+        # of wrapping, silently clobbering newer rows)
+        rows = (buffer.ptr + jnp.arange(rows_per_chunk)) % cap
         buffer = buffer._replace(
-            obs=upd(buffer.obs, rowize(obs), idx, 0),
-            act=upd(buffer.act, rowize(act), idx, 0),
-            rew=upd(buffer.rew, rowize(rew_a), idx, 0),
-            obs2=upd(buffer.obs2, rowize(obs2), idx, 0),
-            ptr=(idx + rows_per_chunk) % buffer.obs.shape[0],
-            size=jnp.minimum(buffer.size + rows_per_chunk,
-                             buffer.obs.shape[0]),
+            obs=buffer.obs.at[rows].set(rowize(obs)),
+            act=buffer.act.at[rows].set(rowize(act)),
+            rew=buffer.rew.at[rows].set(rowize(rew_a)),
+            obs2=buffer.obs2.at[rows].set(rowize(obs2)),
+            ptr=(buffer.ptr + rows_per_chunk) % cap,
+            size=jnp.minimum(buffer.size + rows_per_chunk, cap),
         )
         return buffer, rew_a.mean()
 

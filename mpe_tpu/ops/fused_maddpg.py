@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpe_tpu.ops.fused_policy import _gumbel_onehot
-from mpe_tpu.ops.fused_rollout import make_samplers, make_uniform
+from mpe_tpu.ops.fused_rollout import make_lane_reset, make_uniform
 
 
 def _peragent_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step,
@@ -119,19 +119,13 @@ def _maddpg_traj_kernel(
 
     uniform, seed_hw = make_uniform(
         seed_ref, interpret, *((chunk_j,) if interpret else ()))
-    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
-    zero = jnp.zeros((), jnp.int32)
     prep = kscn.prepare(f32)
+    lane_init, lane_fresh = make_lane_reset(kscn, uniform, n, prep)
 
     @pl.when(chunk_j == 0)
     def _init_block():
         seed_hw()
-        pos0 = sample_state(zero, 0, n)
-        vel0 = jnp.zeros((e, p, n), f32)
-        goal0 = sample_goal(zero, 8, n)
-        comm0 = (jnp.zeros((a, spec.dim_c, n), f32)
-                 if kscn.uses_comm else None)
-        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
+        pos0, vel0, obs0, goal0, _ = lane_init()
         pos_s[:] = pos0
         vel_s[:] = vel0
         obs_s[:] = obs0
@@ -153,11 +147,7 @@ def _maddpg_traj_kernel(
         obs2_out[pl.ds(step, 1)] = obs_next[None]   # TRUE s' (pre-reset)
         t = t + 1
         done = t >= horizon
-        pos_f = sample_state(step, 3, n)
-        goal_f = sample_goal(step, 24, n)
-        comm_f = jnp.zeros_like(comm) if comm is not None else None
-        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
-                                   goal_f, prep=prep)
+        pos_f, obs_f, goal_f = lane_fresh(step, vel)
         pos_s[:] = jnp.where(done[None], pos_f, pos)
         vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs_s[:] = jnp.where(done[None], obs_f, obs_next)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpe_tpu.ops.fused_rollout import make_samplers, make_uniform
+from mpe_tpu.ops.fused_rollout import make_lane_reset, make_uniform
 
 
 def _gumbel_onehot(logits, u, f32=jnp.float32):
@@ -96,15 +96,9 @@ def _policy_rollout_kernel(
     n_goals = len(goal_choices)
     uniform, seed_hw = make_uniform(seed_ref, interpret)
     seed_hw()
-    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
-
-    zero = jnp.zeros((), jnp.int32)
     prep = kscn.prepare(f32)
-    pos0 = sample_state(zero, 0, n)
-    vel0 = jnp.zeros((e, p, n), f32)
-    goal0 = sample_goal(zero, 8, n)
-    comm0 = (jnp.zeros((a, spec.dim_c, n), f32) if kscn.uses_comm else None)
-    _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
+    lane_init, lane_fresh = make_lane_reset(kscn, uniform, n, prep)
+    pos0, vel0, obs0, goal0, _ = lane_init()
 
     carry0 = [
         pos0, vel0, obs0,
@@ -129,11 +123,7 @@ def _policy_rollout_kernel(
         done = t >= horizon
         eps = eps + done.astype(f32)
         # auto-reset (recompute obs for resampled lanes)
-        pos_f = sample_state(step, 3, n)
-        goal_f = sample_goal(step, 24, n)
-        comm_f = jnp.zeros_like(comm) if comm is not None else None
-        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
-                                   goal_f, prep=prep)
+        pos_f, obs_f, goal_f = lane_fresh(step, vel)
         pos = jnp.where(done[None], pos_f, pos)
         vel = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs = jnp.where(done[None], obs_f, obs)
@@ -275,19 +265,13 @@ def _policy_traj_kernel(
 
     uniform, seed_hw = make_uniform(
         seed_ref, interpret, *((chunk_j,) if interpret else ()))
-    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
-    zero = jnp.zeros((), jnp.int32)
     prep = kscn.prepare(f32)
+    lane_init, lane_fresh = make_lane_reset(kscn, uniform, n, prep)
 
     @pl.when(chunk_j == 0)
     def _init_block():
         seed_hw()
-        pos0 = sample_state(zero, 0, n)
-        vel0 = jnp.zeros((e, p, n), f32)
-        goal0 = sample_goal(zero, 8, n)
-        comm0 = (jnp.zeros((a, spec.dim_c, n), f32)
-                 if kscn.uses_comm else None)
-        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
+        pos0, vel0, obs0, goal0, _ = lane_init()
         pos_s[:] = pos0
         vel_s[:] = vel0
         obs_s[:] = obs0
@@ -311,11 +295,7 @@ def _policy_traj_kernel(
         # per-lane horizon auto-reset (obs recomputed for fresh lanes)
         t = t + 1
         done = t >= horizon
-        pos_f = sample_state(step, 3, n)
-        goal_f = sample_goal(step, 24, n)
-        comm_f = jnp.zeros_like(comm) if comm is not None else None
-        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel), comm_f,
-                                   goal_f, prep=prep)
+        pos_f, obs_f, goal_f = lane_fresh(step, vel)
         pos_s[:] = jnp.where(done[None], pos_f, pos)
         vel_s[:] = jnp.where(done[None], jnp.zeros_like(vel), vel)
         obs_s[:] = jnp.where(done[None], obs_f, obs_next)

@@ -307,6 +307,47 @@ def make_samplers(kscn, uniform):
     return sample_state, sample_goal, sample_comm
 
 
+def make_lane_reset(kscn, uniform, n, prep):
+    """Shared block-init / per-lane auto-reset sampling for the
+    stateful fused kernels (policy rollout/trajectory, MADDPG
+    collection): returns ``(init, fresh)``.
+
+    ``init()`` draws the block's initial state on RNG call ids 0/8
+    (zero velocity and comm) and returns
+    ``(pos0, vel0, obs0, goal0, comm0)``; ``fresh(step, vel)`` draws
+    per-lane reset candidates on ids 3/24 and returns
+    ``(pos_f, obs_f, goal_f)`` with observations recomputed for the
+    fresh state. Keeping this in one place pins the reset convention
+    (zero comm at episode start, goal resample per lane) across every
+    kernel that persists state."""
+    spec = kscn.spec
+    sample_state, sample_goal, _ = make_samplers(kscn, uniform)
+    e, p, a = spec.n_entities, spec.dim_p, spec.n_agents
+    dim_c = spec.dim_c if getattr(kscn, "uses_comm", False) else 0
+    f32 = jnp.float32
+    zero = jnp.zeros((), jnp.int32)
+
+    def zero_comm():
+        return jnp.zeros((a, dim_c, n), f32) if dim_c else None
+
+    def init():
+        pos0 = sample_state(zero, 0, n)
+        vel0 = jnp.zeros((e, p, n), f32)
+        goal0 = sample_goal(zero, 8, n)
+        comm0 = zero_comm()
+        _, obs0 = kscn.reward_obs(pos0, vel0, comm0, goal0, prep=prep)
+        return pos0, vel0, obs0, goal0, comm0
+
+    def fresh(step, vel):
+        pos_f = sample_state(step, 3, n)
+        goal_f = sample_goal(step, 24, n)
+        _, obs_f = kscn.reward_obs(pos_f, jnp.zeros_like(vel),
+                                   zero_comm(), goal_f, prep=prep)
+        return pos_f, obs_f, goal_f
+
+    return init, fresh
+
+
 
 def _generic_rollout_kernel(
     seed_ref, pos_out, vel_out, rew_out, obs_sum_out,

@@ -112,6 +112,38 @@ def test_build_fused_collect_comm_trains():
     assert np.abs(w1[..., mw:] - w0[..., mw:]).max() > 0     # comm head
 
 
+def test_fused_collect_wraps_misaligned_ptr():
+    """Interleaving the per-step XLA collector (which advances ptr by
+    n_envs) with collect_chunk leaves ptr misaligned; the chunk insert
+    must WRAP modularly across the capacity edge, not clamp (the old
+    dynamic_update_slice silently clobbered newer rows and desynced
+    ptr)."""
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=HOR,
+                 auto_reset=True)
+    a, ow = env.n_agents, env.scenario.obs_width
+    params = init_maddpg(jax.random.PRNGKey(0), ow, 5, a, hidden=16)
+    collect = build_fused_collect(env, n_envs=N, n_steps=T,
+                                  block_envs=16, t_chunk=4,
+                                  interpret=True)
+    rpc = collect.rows_per_chunk
+    cap = 2 * rpc
+    buffer = init_buffer(cap, a, ow, 5)
+    off = 37                                   # misaligned start
+    buffer = buffer._replace(ptr=jnp.asarray(off, jnp.int32))
+    b1, _ = collect(params["actor"], buffer, 0)
+    assert int(b1.ptr) == (off + rpc) % cap
+    # rows [off, off+rpc) written, wrap region untouched this insert
+    head = np.asarray(b1.obs[off : off + rpc])
+    assert np.abs(head).sum() > 0
+    untouched = np.asarray(b1.obs[(off + rpc) % cap : off])
+    np.testing.assert_array_equal(untouched, 0.0)
+    # second insert crosses the capacity edge and wraps to the front
+    b2, _ = collect(params["actor"], b1, 1)
+    assert int(b2.ptr) == (off + 2 * rpc) % cap
+    tail = np.asarray(b2.obs[:off])            # wrapped portion
+    assert np.abs(tail).sum() > 0
+
+
 def test_peragent_rng_streams_independent():
     """Regression: the per-agent RNG call-id layout must stay inside the
     64-id-per-step salt window of make_uniform. The old 16-per-agent

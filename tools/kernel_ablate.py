@@ -99,7 +99,12 @@ def main():
     steps = args.n_envs * args.n_steps
     variants = build_variants(args.scenario)
     if args.variants:
-        keep = args.variants.split(",")
+        keep = [k.strip() for k in args.variants.split(",")]
+        unknown = set(keep) - set(variants)
+        if unknown:
+            raise SystemExit(
+                f"unknown variants {sorted(unknown)}; "
+                f"available: {sorted(variants)}")
         variants = {k: v for k, v in variants.items() if k in keep}
     for name, kscn in variants.items():
         run = fused_rollout(kscn, n_envs=args.n_envs, n_steps=args.n_steps)
