@@ -71,8 +71,20 @@ class AECEnv:
         if self.terminations[a] or self.truncations[a]:
             # PettingZoo convention: dead agents step None and are removed
             assert action is None, f"{a} is done; pass action=None"
+            idx = self.agents.index(a)
             self.agents.remove(a)
-            self.agent_selection = self.agents[0] if self.agents else None
+            if not self.agents:
+                self.agent_selection = None
+                return
+            if idx < len(self.agents):
+                # continue the cycle with the agent that slid into the
+                # removed slot (NOT agents[0] — restarting the cycle
+                # would ask earlier agents to act twice)
+                self.agent_selection = self.agents[idx]
+                return
+            # the removed agent held the last slot: the live agents have
+            # all buffered this cycle, so advance the world
+            self._advance()
             return
         self._buffer[a] = action
         idx = self.agents.index(a)
@@ -80,10 +92,13 @@ class AECEnv:
             self.agent_selection = self.agents[idx + 1]
             return
         # full cycle buffered -> advance the world once
+        self._advance()
+
+    def _advance(self):
         (self._obs, self.rewards, self.terminations, self.truncations,
          self.infos) = self._par.step(self._buffer)
         self._buffer = {}
-        self.agent_selection = self.agents[0]
+        self.agent_selection = self.agents[0] if self.agents else None
 
     def agent_iter(self, max_iter: int = 2 ** 31) -> Iterator[str]:
         n = 0

@@ -134,24 +134,45 @@ class ParallelEnv:
         infos: dict[str, dict[str, Any]] = {a: {} for a in self.agents}
         return dict(zip(self.possible_agents, obs_n)), infos
 
+    def _zero_action(self, agent: str) -> np.ndarray:
+        """No-op action in the reference per-agent format, supplied for
+        agents that already left ``self.agents`` (their entity stays in
+        the world — the reference has no removal — but stops acting)."""
+        space = self._action_spaces[agent]
+        if isinstance(space, spaces.Discrete):
+            return np.zeros(space.n)
+        if isinstance(space, spaces.MultiDiscrete):
+            return np.zeros(int(sum(hi - lo + 1 for lo, hi
+                                    in zip(space.low, space.high))))
+        if isinstance(space, spaces.Tuple):
+            return np.concatenate(
+                [np.zeros(np.prod(s.shape)) for s in space.spaces])
+        return np.zeros(space.shape)               # Box
+
     def step(self, actions: dict[str, Any]):
         assert self.agents, "step() called on a finished episode; reset()"
-        missing = set(self.agents) - set(actions)
+        live = list(self.agents)
+        missing = set(live) - set(actions)
         assert not missing, f"missing actions for {sorted(missing)}"
         action_n = [self._to_reference_format(a, actions[a])
+                    if a in actions and a in live else self._zero_action(a)
                     for a in self.possible_agents]
         obs_n, reward_n, done_n, info_n = self._env.step(action_n)
         self._t += 1
-        names = self.possible_agents
-        rewards = dict(zip(names, reward_n))
-        # scenario done hook -> terminations; max_cycles -> truncations
-        terminations = dict(zip(names, done_n))
+        idx = {a: i for i, a in enumerate(self.possible_agents)}
+        # scenario done hook -> terminations; max_cycles -> truncations;
+        # outputs are keyed by the agents live at THIS step, and agents
+        # reporting termination/truncation leave self.agents afterwards
+        # (the PettingZoo contract for partial termination)
+        terminations = {a: bool(done_n[idx[a]]) for a in live}
         trunc = self._t >= self.max_cycles
-        truncations = {a: trunc for a in names}
-        infos = dict(zip(names, info_n["n"]))
-        if trunc or all(done_n):
-            self.agents = []
-        return dict(zip(names, obs_n)), rewards, terminations, truncations, infos
+        truncations = {a: trunc for a in live}
+        self.agents = [a for a in live
+                       if not (terminations[a] or truncations[a])]
+        return ({a: obs_n[idx[a]] for a in live},
+                {a: reward_n[idx[a]] for a in live},
+                terminations, truncations,
+                {a: info_n["n"][idx[a]] for a in live})
 
     def close(self):
         self._env.close()

@@ -31,17 +31,13 @@ from mpe_tpu.envs.functional import MpeEnv
 def init_policy(key, obs_dim: int, act_dim: int, hidden: int = 64,
                 dtype=jnp.float32) -> dict[str, Any]:
     """Two-hidden-layer MLP, shared across agents."""
+    from mpe_tpu.learner._nets import dense_init
+
     k1, k2, k3 = jax.random.split(key, 3)
-
-    def dense(k, i, o):
-        scale = jnp.sqrt(2.0 / i).astype(dtype)
-        return {"w": jax.random.normal(k, (i, o), dtype) * scale,
-                "b": jnp.zeros((o,), dtype)}
-
     return {
-        "l1": dense(k1, obs_dim, hidden),
-        "l2": dense(k2, hidden, hidden),
-        "out": dense(k3, hidden, act_dim),
+        "l1": dense_init(k1, obs_dim, hidden, dtype),
+        "l2": dense_init(k2, hidden, hidden, dtype),
+        "out": dense_init(k3, hidden, act_dim, dtype),
     }
 
 

@@ -112,6 +112,12 @@ def build_ppo_step(
 
     def sample(params, obs, key):
         logits, value = policy_value(params, obs)          # [A, K], [A]
+        # the head must be move-only: a wider head (e.g. the pg.py
+        # act_dim=env.action_width convention) would let idx land past
+        # the move range and one_hot silently emit all-zero no-ops
+        assert logits.shape[-1] == mw, (
+            f"PPO pi head width {logits.shape[-1]} != move width {mw}; "
+            "build params with init_ac(..., act_dim=5)")
         idx = jax.random.categorical(key, logits)          # [A]
         logp = jnp.take_along_axis(
             jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
@@ -134,9 +140,9 @@ def build_ppo_step(
             states, obs2, rew, done, _ = jax.vmap(env.step)(
                 states, acts, jax.random.split(kstep, n_local))
             tr = Transition(obs, idx, logp, value, rew, done)
-            return (states, obs2), (tr, obs2)
+            return (states, obs2), tr
 
-        (_, last_obs), (traj, _) = jax.lax.scan(
+        (_, last_obs), traj = jax.lax.scan(
             body, (states, obs), jax.random.split(ks, n_steps))
         _, last_value = jax.vmap(lambda o: policy_value(params, o))(last_obs)
         return traj, last_value
@@ -288,6 +294,9 @@ def build_mappo_step(
 
     def sample(params, obs, key):
         logits = actor_logits(params, obs)                 # [A, K]
+        assert logits.shape[-1] == mw, (
+            f"MAPPO pi head width {logits.shape[-1]} != move width {mw}; "
+            "build params with init_mappo(..., act_dim=5)")
         idx = jax.random.categorical(key, logits)
         logp = jnp.take_along_axis(
             jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]

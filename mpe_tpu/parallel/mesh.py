@@ -55,8 +55,17 @@ def _uniform_actions(
     # are identical across layouts, then transpose for env-minor
     shape = (n_envs, env.n_agents, env.action_width)
     if env.action_mode is ActionMode.DISCRETE_INDEX:
-        acts = jax.random.randint(
-            key, shape, 0, 2 * env.spec.dim_p + 1, jnp.int32)
+        # column 0 is the move index in [0, 5), column 1 the comm index
+        # in [0, dim_c) — sampling both from the move range would emit
+        # out-of-range comm indices (one_hot maps them to all-zero comm,
+        # a state the reference can never produce) and never sample
+        # messages above index 4 when dim_c > 5
+        km, kc = jax.random.split(key)
+        move = jax.random.randint(
+            km, shape[:2] + (1,), 0, 2 * env.spec.dim_p + 1, jnp.int32)
+        comm = jax.random.randint(
+            kc, shape[:2] + (1,), 0, max(env.spec.dim_c, 1), jnp.int32)
+        acts = jnp.concatenate([move, comm], axis=-1)
     else:
         acts = jax.random.uniform(key, shape, env.dtype)
     return acts if env_axis == 0 else jnp.moveaxis(acts, 0, -1)
@@ -174,6 +183,8 @@ def init_multihost(coordinator_address: str | None = None,
     (SURVEY.md §2.4) — envs shard over every device in the pod and the
     hot path stays collective-free.
     """
+    import os
+
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -181,5 +192,12 @@ def init_multihost(coordinator_address: str | None = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    cluster_env = any(v in os.environ for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"))
+    if kwargs or cluster_env:
+        jax.distributed.initialize(**kwargs)
+    # plain single host with nothing specified: initialize() would raise
+    # "coordinator_address should be defined" — a one-process run needs
+    # no distributed runtime, so just build the local mesh
     return env_mesh(axis_name=axis_name)

@@ -355,3 +355,73 @@ def test_noise_config_requires_key():
     s1, *_ = env.step(state, acts, jax.random.PRNGKey(1))
     s2, *_ = env.step(state, acts, jax.random.PRNGKey(2))
     assert (np.asarray(s1.pos[0]) != np.asarray(s2.pos[0])).any()
+
+
+def _first_dies_scenario():
+    """simple_spread variant whose agent 0 terminates after 2 steps —
+    exercises the PettingZoo partial-termination contract."""
+    import jax.numpy as jnp
+
+    from mpe_tpu import scenarios as registry
+
+    scn = registry.load("simple_spread")
+
+    class FirstDies(type(scn)):
+        def done(self, state):
+            base = jnp.zeros((self.spec.n_agents,), bool)
+            return base.at[0].set(state.t >= 2)
+
+    out = FirstDies()
+    return out
+
+
+def test_parallel_api_partial_termination():
+    """An agent whose done hook fires leaves env.agents after the step
+    reporting termination; later steps neither require nor accept its
+    action, and outputs are keyed by the live set."""
+    from mpe_tpu.envs.parallel_api import ParallelEnv
+
+    env = ParallelEnv(_first_dies_scenario(), max_cycles=10, seed=0)
+    obs, _ = env.reset(seed=1)
+    a0 = env.possible_agents[0]
+    for t in range(1, 5):
+        acts = {a: np.zeros(env.action_space(a).n) for a in env.agents}
+        obs, rew, term, trunc, info = env.step(acts)
+        if t < 2:
+            assert a0 in env.agents and term[a0] is False
+        elif t == 2:
+            assert term[a0] is True and a0 in obs     # reported once
+            assert a0 not in env.agents
+        else:
+            assert a0 not in obs and a0 not in term   # gone afterwards
+            assert set(obs) == set(env.possible_agents[1:])
+    assert len(env.agents) == 2
+
+
+def test_aec_api_partial_termination():
+    """The dead agent steps None once, then the cycle continues with the
+    remaining agents in order — earlier agents are never asked twice in
+    one cycle and episodes complete."""
+    from mpe_tpu.envs.aec_api import aec_env
+
+    env = aec_env(_first_dies_scenario(), max_cycles=6, seed=0)
+    env.reset(seed=1)
+    acted = []
+    for agent in env.agent_iter(max_iter=40):
+        _, _, term, trunc, _ = env.last()
+        if term or trunc:
+            env.step(None)
+            continue
+        acted.append(agent)
+        env.step(np.zeros(env.action_space(agent).n))
+    # every completed world step consumed exactly one action per live
+    # agent: 3+3 for the first two cycles, 2 per cycle after agent_0 died
+    assert not env.agents                       # episode fully drained
+    from collections import Counter
+
+    c = Counter(acted)
+    a0 = env.possible_agents[0]
+    assert c[a0] == 2                           # died after step 2
+    others = [a for a in env.possible_agents if a != a0]
+    assert all(c[a] == c[others[0]] for a in others)
+    assert c[others[0]] > c[a0]                 # kept playing to max_cycles

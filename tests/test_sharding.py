@@ -242,3 +242,24 @@ def test_maddpg_learns_simple():
             (i >= 1000) and (i % 2 == 0))
     g = greedy_eval(params)
     assert g > -0.6, g  # measured: -0.22 (noop baseline -1.05, random -2)
+
+
+def test_uniform_actions_discrete_index_comm_range():
+    """Random DISCRETE_INDEX actions must draw the comm column from
+    [0, dim_c) — the old code drew it from the move range [0, 5),
+    emitting out-of-range indices (decoded to impossible all-zero comm)
+    on dim_c<5 scenarios and never sampling messages above 4 on
+    dim_c>5 ones."""
+    from mpe_tpu.core.actions import ActionMode
+    from mpe_tpu.parallel.mesh import _uniform_actions
+
+    for name in ("simple_speaker_listener", "simple_reference"):
+        env = MpeEnv(scenarios.load(name),
+                     action_mode=ActionMode.DISCRETE_INDEX)
+        acts = np.asarray(_uniform_actions(
+            env, jax.random.PRNGKey(0), 512))        # [N, A, 2]
+        dim_c = env.spec.dim_c
+        assert acts[..., 0].max() < 5 and acts[..., 0].min() >= 0
+        assert acts[..., 1].max() < dim_c and acts[..., 1].min() >= 0
+        # every message index is reachable
+        assert set(np.unique(acts[..., 1])) == set(range(dim_c)), name
