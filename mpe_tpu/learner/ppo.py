@@ -72,6 +72,119 @@ class Transition(NamedTuple):
     done: jax.Array     # [A] bool
 
 
+# ---- shared scaffolding between the PPO and MAPPO builders (identical
+# math factored out so fixes land in both) -----------------------------
+
+
+def _make_opt(lr, anneal_iters, ppo_epochs):
+    """Global-norm clip + Adam; linear LR decay over
+    anneal_iters*ppo_epochs updates counters the late-training drift
+    typical of small-batch PPO."""
+    sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
+             if anneal_iters else lr)
+    return optax.chain(optax.clip_by_global_norm(0.5), optax.adam(sched))
+
+
+def _sample_move(logits, key, mw, pad_c, dtype):
+    """Categorical move draw from [A, mw] logits -> (padded action rows
+    [A, mw+pad_c], idx [A], logp [A]). The head must be move-only: a
+    wider head (e.g. the pg.py act_dim=env.action_width convention)
+    would let idx land past the move range and one_hot silently emit
+    all-zero no-ops."""
+    assert logits.shape[-1] == mw, (
+        f"pi head width {logits.shape[-1]} != move width {mw}; "
+        "build params with act_dim=5")
+    a = logits.shape[0]
+    idx = jax.random.categorical(key, logits)
+    logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
+    onehot = jax.nn.one_hot(idx, mw, dtype=dtype)
+    acts = jnp.concatenate([onehot, jnp.zeros((a, pad_c), dtype)], axis=-1)
+    return acts, idx, logp
+
+
+def _gae_scan(values, rewards, dones, last_value, gamma, lam):
+    """Reverse-scan GAE over leading-time tensors;
+    -> (advantages, returns)."""
+    def body(carry, x):
+        next_val, next_adv = carry
+        value, reward, done = x
+        nonterm = 1.0 - done.astype(jnp.float32)
+        delta = reward + gamma * next_val * nonterm - value
+        adv = delta + gamma * lam * nonterm * next_adv
+        return (value, adv), adv
+
+    (_, _), advs = jax.lax.scan(
+        body, (last_value, jnp.zeros_like(last_value)),
+        (values, rewards, dones), reverse=True)
+    return advs, advs + values
+
+
+def _clipped_objective(logits, act, logp_old, value, value_old, adv_b,
+                       ret, clip):
+    """Shared clipped-surrogate pieces: (pg, vloss, ent). ``adv_b`` is
+    already normalized and broadcast to ``logp``'s shape. The
+    PPO-style clipped value loss limits how far the critic moves from
+    its rollout-time predictions per iteration (same range as the
+    policy clip, per the common PPO2 implementation)."""
+    logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits), act[..., None], axis=-1)[..., 0]
+    ratio = jnp.exp(logp - logp_old)
+    pg = -jnp.minimum(
+        ratio * adv_b, jnp.clip(ratio, 1 - clip, 1 + clip) * adv_b).mean()
+    v_clip = value_old + jnp.clip(value - value_old, -clip, clip)
+    vloss = jnp.maximum(jnp.square(value - ret),
+                        jnp.square(v_clip - ret)).mean()
+    ent = -jnp.sum(
+        jax.nn.softmax(logits) * jax.nn.log_softmax(logits),
+        axis=-1).mean()
+    return pg, vloss, ent
+
+
+def _epoch_metrics_step(loss_fn, batch, opt, ppo_epochs, axis_name,
+                        mean_rew):
+    """-> epochs(params, opt_state) running ``ppo_epochs`` pmean'd
+    update epochs and returning the standard metrics dict."""
+    def epochs(params, opt_state):
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, *aux)
+
+        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
+            epoch, (params, opt_state), jnp.arange(ppo_epochs))
+        metrics = {
+            "loss": jax.lax.pmean(losses[-1], axis_name),
+            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
+            "v_loss": jax.lax.pmean(vls[-1], axis_name),
+            "entropy": jax.lax.pmean(ents[-1], axis_name),
+            "mean_reward": jax.lax.pmean(mean_rew, axis_name),
+        }
+        return (params, opt_state), metrics
+
+    return epochs
+
+
+def _wrap_step(local_update, mesh, axis_name, n_dev, opt):
+    """shard_map + jit wrapper with per-device key split and the
+    init_state attribute — the common outer shell of both builders."""
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+             out_specs=(P(), P()), check_vma=False)
+    def sharded(state, keys):
+        return local_update(state, keys[0])
+
+    @jax.jit
+    def step(state, key):
+        return sharded(state, jax.random.split(key, n_dev))
+
+    step.init_state = lambda params: (params, opt.init(params))
+    return step
+
+
 def build_ppo_step(
     env: MpeEnv,
     mesh: Mesh,
@@ -98,32 +211,16 @@ def build_ppo_step(
     which plain SGD cannot balance.
     """
     assert env.action_mode is ActionMode.DISCRETE
-    # linear LR decay over anneal_iters*ppo_epochs updates counters the
-    # late-training drift typical of small-batch PPO
-    sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
-             if anneal_iters else lr)
-    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(sched))
+    opt = _make_opt(lr, anneal_iters, ppo_epochs)
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0
     n_local = n_envs // n_dev
-    a = env.n_agents
     mw = 2 * env.spec.dim_p + 1
     pad_c = env.action_width - mw
 
     def sample(params, obs, key):
         logits, value = policy_value(params, obs)          # [A, K], [A]
-        # the head must be move-only: a wider head (e.g. the pg.py
-        # act_dim=env.action_width convention) would let idx land past
-        # the move range and one_hot silently emit all-zero no-ops
-        assert logits.shape[-1] == mw, (
-            f"PPO pi head width {logits.shape[-1]} != move width {mw}; "
-            "build params with init_ac(..., act_dim=5)")
-        idx = jax.random.categorical(key, logits)          # [A]
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
-        onehot = jax.nn.one_hot(idx, mw, dtype=env.dtype)
-        acts = jnp.concatenate(
-            [onehot, jnp.zeros((a, pad_c), env.dtype)], axis=-1)
+        acts, idx, logp = _sample_move(logits, key, mw, pad_c, env.dtype)
         return acts, idx, logp, value
 
     def rollout(params, key):
@@ -147,80 +244,26 @@ def build_ppo_step(
         _, last_value = jax.vmap(lambda o: policy_value(params, o))(last_obs)
         return traj, last_value
 
-    def gae(traj: Transition, last_value):
-        """Reverse-scan GAE; -> (advantages, returns) [T, n_local, A]."""
-        def body(carry, tr):
-            next_val, next_adv = carry
-            nonterm = 1.0 - tr.done.astype(jnp.float32)
-            delta = tr.reward + gamma * next_val * nonterm - tr.value
-            adv = delta + gamma * lam * nonterm * next_adv
-            return (tr.value, adv), adv
-
-        (_, _), advs = jax.lax.scan(
-            body, (last_value, jnp.zeros_like(last_value)), traj,
-            reverse=True)
-        return advs, advs + traj.value
-
     def loss_fn(params, batch):
         obs, act, logp_old, value_old, adv, ret = batch
         logits, value = policy_value(params, obs)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits), act[..., None], axis=-1)[..., 0]
-        ratio = jnp.exp(logp - logp_old)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg = -jnp.minimum(
-            ratio * adv_n,
-            jnp.clip(ratio, 1 - clip, 1 + clip) * adv_n).mean()
-        # PPO-style clipped value loss: limits how far the critic moves
-        # from its rollout-time predictions per iteration (same range as
-        # the policy clip, per the common PPO2 implementation)
-        v_clip = value_old + jnp.clip(value - value_old, -clip, clip)
-        vloss = jnp.maximum(jnp.square(value - ret),
-                            jnp.square(v_clip - ret)).mean()
-        ent = -jnp.sum(
-            jax.nn.softmax(logits) * jax.nn.log_softmax(logits),
-            axis=-1).mean()
+        pg, vloss, ent = _clipped_objective(
+            logits, act, logp_old, value, value_old, adv_n, ret, clip)
         return pg + vf_coef * vloss - ent_coef * ent, (pg, vloss, ent)
 
     def local_update(state, key):
         params, opt_state = state
         kr, _ = jax.random.split(key)
         traj, last_value = rollout(params, kr)
-        adv, ret = gae(traj, last_value)
+        adv, ret = _gae_scan(traj.value, traj.reward, traj.done,
+                             last_value, gamma, lam)
         batch = (traj.obs, traj.act, traj.logp, traj.value, adv, ret)
+        epochs = _epoch_metrics_step(loss_fn, batch, opt, ppo_epochs,
+                                     axis_name, traj.reward.mean())
+        return epochs(params, opt_state)
 
-        def epoch(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, *aux)
-
-        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
-            epoch, (params, opt_state), jnp.arange(ppo_epochs))
-        mean_rew = jax.lax.pmean(traj.reward.mean(), axis_name)
-        metrics = {
-            "loss": jax.lax.pmean(losses[-1], axis_name),
-            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
-            "v_loss": jax.lax.pmean(vls[-1], axis_name),
-            "entropy": jax.lax.pmean(ents[-1], axis_name),
-            "mean_reward": mean_rew,
-        }
-        return (params, opt_state), metrics
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
-             out_specs=(P(), P()), check_vma=False)
-    def sharded(state, keys):
-        return local_update(state, keys[0])
-
-    @jax.jit
-    def ppo_step(state, key):
-        return sharded(state, jax.random.split(key, n_dev))
-
-    ppo_step.init_state = lambda params: (params, opt.init(params))
-    return ppo_step
+    return _wrap_step(local_update, mesh, axis_name, n_dev, opt)
 
 
 # ---------------------------------------------------------------------------
@@ -282,28 +325,16 @@ def build_mappo_step(
     ``build_ppo_step``). Intended for collaborative scenarios (the shared
     team reward is the critic's target)."""
     assert env.action_mode is ActionMode.DISCRETE
-    sched = (optax.linear_schedule(lr, 0.0, anneal_iters * ppo_epochs)
-             if anneal_iters else lr)
-    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(sched))
+    opt = _make_opt(lr, anneal_iters, ppo_epochs)
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0
     n_local = n_envs // n_dev
-    a = env.n_agents
     mw = 2 * env.spec.dim_p + 1
     pad_c = env.action_width - mw
 
     def sample(params, obs, key):
         logits = actor_logits(params, obs)                 # [A, K]
-        assert logits.shape[-1] == mw, (
-            f"MAPPO pi head width {logits.shape[-1]} != move width {mw}; "
-            "build params with init_mappo(..., act_dim=5)")
-        idx = jax.random.categorical(key, logits)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits), idx[:, None], axis=-1)[:, 0]
-        onehot = jax.nn.one_hot(idx, mw, dtype=env.dtype)
-        acts = jnp.concatenate(
-            [onehot, jnp.zeros((a, pad_c), env.dtype)], axis=-1)
-        return acts, idx, logp
+        return _sample_move(logits, key, mw, pad_c, env.dtype)
 
     def rollout(params, key):
         kr, ks = jax.random.split(key)
@@ -330,75 +361,24 @@ def build_mappo_step(
         last_value = jax.vmap(lambda o: central_value(params, o))(last_obs)
         return traj, last_value
 
-    def gae(values, rewards, dones, last_value):
-        def body(carry, x):
-            next_val, next_adv = carry
-            value, reward, done = x
-            nonterm = 1.0 - done.astype(jnp.float32)
-            delta = reward + gamma * next_val * nonterm - value
-            adv = delta + gamma * lam * nonterm * next_adv
-            return (value, adv), adv
-
-        (_, _), advs = jax.lax.scan(
-            body, (last_value, jnp.zeros_like(last_value)),
-            (values, rewards, dones), reverse=True)
-        return advs, advs + values
-
     def loss_fn(params, batch):
         obs, act, logp_old, value_old, adv, ret = batch
         logits = actor_logits(params, obs)                 # [..., A, K]
         value = central_value(params, obs)                 # [...]
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits), act[..., None], axis=-1)[..., 0]
-        ratio = jnp.exp(logp - logp_old)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         adv_b = adv_n[..., None]                           # same adv per agent
-        pg = -jnp.minimum(
-            ratio * adv_b, jnp.clip(ratio, 1 - clip, 1 + clip) * adv_b
-        ).mean()
-        v_clip = value_old + jnp.clip(value - value_old, -clip, clip)
-        vloss = jnp.maximum(jnp.square(value - ret),
-                            jnp.square(v_clip - ret)).mean()
-        ent = -jnp.sum(
-            jax.nn.softmax(logits) * jax.nn.log_softmax(logits),
-            axis=-1).mean()
+        pg, vloss, ent = _clipped_objective(
+            logits, act, logp_old, value, value_old, adv_b, ret, clip)
         return pg + vf_coef * vloss - ent_coef * ent, (pg, vloss, ent)
 
     def local_update(state, key):
         params, opt_state = state
         kr, _ = jax.random.split(key)
         (obs, act, logp, value, rew, done), last_value = rollout(params, kr)
-        adv, ret = gae(value, rew, done, last_value)
+        adv, ret = _gae_scan(value, rew, done, last_value, gamma, lam)
         batch = (obs, act, logp, value, adv, ret)
+        epochs = _epoch_metrics_step(loss_fn, batch, opt, ppo_epochs,
+                                     axis_name, rew.mean())
+        return epochs(params, opt_state)
 
-        def epoch(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, *aux)
-
-        (params, opt_state), (losses, pgs, vls, ents) = jax.lax.scan(
-            epoch, (params, opt_state), jnp.arange(ppo_epochs))
-        metrics = {
-            "loss": jax.lax.pmean(losses[-1], axis_name),
-            "pg_loss": jax.lax.pmean(pgs[-1], axis_name),
-            "v_loss": jax.lax.pmean(vls[-1], axis_name),
-            "entropy": jax.lax.pmean(ents[-1], axis_name),
-            "mean_reward": jax.lax.pmean(rew.mean(), axis_name),
-        }
-        return (params, opt_state), metrics
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
-             out_specs=(P(), P()), check_vma=False)
-    def sharded(state, keys):
-        return local_update(state, keys[0])
-
-    @jax.jit
-    def mappo_step(state, key):
-        return sharded(state, jax.random.split(key, n_dev))
-
-    mappo_step.init_state = lambda params: (params, opt.init(params))
-    return mappo_step
+    return _wrap_step(local_update, mesh, axis_name, n_dev, opt)
