@@ -28,6 +28,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mpe_tpu.core.actions import ActionMode
@@ -277,13 +278,27 @@ def build_maddpg(
             cgrads, opt_states["critic"], params["critic"])
         new_critic = optax.apply_updates(params["critic"], cupd)
 
+        # static candidate table: every joint (move[, comm]) one-hot an
+        # agent can emit — [C, aw], C = mw (* cw on comm scenarios)
+        n_cand = mw * max(cw, 1)
+        cand_np = np.zeros((n_cand, aw), np.float32)
+        for k in range(mw):
+            for j in range(max(cw, 1)):
+                c_idx = k * max(cw, 1) + j
+                cand_np[c_idx, k] = 1.0
+                if cw:
+                    cand_np[c_idx, mw + j] = 1.0
+        cand = jnp.asarray(cand_np)
+
         def actor_loss(actor_params):
             # each agent maximizes the EXACT expectation of its critic
             # over its own (small, discrete) action set under its softmax
             # policy — the joint (move, comm) grid on comm scenarios —
             # with the other agents' buffer actions fixed: a
             # deterministic gradient (no Gumbel straight-through noise),
-            # plus a small entropy bonus against premature collapse
+            # plus a small entropy bonus against premature collapse.
+            # All C candidates are scored in ONE batched critic eval per
+            # agent ([C*B] rows) instead of C separate forward passes.
             logits = jax.vmap(
                 lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
             probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
@@ -291,22 +306,20 @@ def build_maddpg(
             total = 0.0
             for i in range(a):
                 cp = jax.tree.map(lambda x: x[i], params["critic"])
-                qk, wk = [], []
-                for k in range(mw):
-                    for j in range(cw if cw else 1):
-                        onek = jnp.zeros(
-                            (batch, aw), act_b.dtype).at[:, k].set(1.0)
-                        if cw:
-                            onek = onek.at[:, mw + j].set(1.0)
-                        mixed = act_b.at[:, i].set(onek)
-                        qk.append(critic_q_i(cp, _joint(obs_b, mixed)))
-                        w = probs_m[:, i, k]
-                        if cw:
-                            w = w * probs_c[:, i, j]
-                        wk.append(w)
-                q_all = jnp.stack(qk, axis=-1)              # [B, mw*cw]
-                w_all = jnp.stack(wk, axis=-1)
-                exp_q = jnp.sum(w_all * jax.lax.stop_gradient(q_all),
+                mixed = jnp.broadcast_to(
+                    act_b.astype(jnp.float32),
+                    (n_cand,) + act_b.shape)                # [C, B, A, aw]
+                mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
+                joint = jnp.concatenate(
+                    [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
+                                      (n_cand, batch, a * obs_b.shape[-1])),
+                     mixed.reshape(n_cand, batch, -1)], axis=-1)
+                q_all = critic_q_i(cp, joint)               # [C, B]
+                w = probs_m[:, i]                           # [B, mw]
+                if cw:
+                    w = (w[..., :, None] * probs_c[:, i][..., None, :]
+                         ).reshape(batch, n_cand)
+                exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T),
                                 axis=-1)
                 ent = -jnp.sum(probs_m[:, i]
                                * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
