@@ -405,16 +405,34 @@ def build_fused_collect(
                                                   + x.shape[1:-1])
 
         cap = buffer.obs.shape[0]
-        # modular row indices: correct for ANY ptr, including one left
-        # misaligned by interleaved per-step collect_fn inserts (a
-        # dynamic_update_slice would CLAMP at the capacity edge instead
-        # of wrapping, silently clobbering newer rows)
-        rows = (buffer.ptr + jnp.arange(rows_per_chunk)) % cap
+        rows_o, rows_a, rows_r, rows_o2 = (
+            rowize(obs), rowize(act), rowize(rew_a), rowize(obs2))
+
+        # Fast path: the chunk fits before the ring edge — one contiguous
+        # dynamic_update_slice per field. Fallback (the chunk WRAPS, only
+        # possible when interleaved per-step collect_fn inserts left ptr
+        # misaligned): modular row scatter, because dynamic_update_slice
+        # would CLAMP at the capacity edge instead of wrapping, silently
+        # clobbering newer rows. The scatter costs ~70% of collect time
+        # on chip (tools/train_bench.py), so it must stay off the common
+        # path.
+        def _contiguous(b: Buffer) -> Buffer:
+            upd = lambda dst, src: jax.lax.dynamic_update_slice_in_dim(
+                dst, src, b.ptr, 0)
+            return b._replace(obs=upd(b.obs, rows_o), act=upd(b.act, rows_a),
+                              rew=upd(b.rew, rows_r),
+                              obs2=upd(b.obs2, rows_o2))
+
+        def _wrapping(b: Buffer) -> Buffer:
+            rows = (b.ptr + jnp.arange(rows_per_chunk)) % cap
+            return b._replace(
+                obs=b.obs.at[rows].set(rows_o), act=b.act.at[rows].set(rows_a),
+                rew=b.rew.at[rows].set(rows_r),
+                obs2=b.obs2.at[rows].set(rows_o2))
+
+        buffer = jax.lax.cond(buffer.ptr + rows_per_chunk <= cap,
+                              _contiguous, _wrapping, buffer)
         buffer = buffer._replace(
-            obs=buffer.obs.at[rows].set(rowize(obs)),
-            act=buffer.act.at[rows].set(rowize(act)),
-            rew=buffer.rew.at[rows].set(rowize(rew_a)),
-            obs2=buffer.obs2.at[rows].set(rowize(obs2)),
             ptr=(buffer.ptr + rows_per_chunk) % cap,
             size=jnp.minimum(buffer.size + rows_per_chunk, cap),
         )

@@ -122,7 +122,12 @@ def bench_fused_ppo(mesh, builder_name="build_fused_ppo_step"):
 
 MD_ENVS = 1024       # maddpg replay envs
 MD_HORIZON = 25
-MD_CHUNKS = 10       # fused chunks; xla runs MD_CHUNKS*MD_HORIZON iters
+MD_CHUNKS = 40       # timed fused chunks; xla runs MD_CHUNKS*MD_HORIZON iters
+MD_CAP_CHUNKS = 10   # ring capacity in chunks (the ring wraps while timing:
+                     # chunk inserts stay aligned, so the contiguous fast
+                     # path is what's measured). MD_CHUNKS=40 puts ~0.3s+ of
+                     # work behind one dispatch — the tunnel's fixed
+                     # 30-100 ms round-trip would otherwise dominate.
 
 
 def bench_maddpg(fused: bool):
@@ -140,7 +145,7 @@ def bench_maddpg(fused: bool):
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=MD_HORIZON,
                  auto_reset=True)
     mw = 2 * env.spec.dim_p + 1
-    capacity = MD_CHUNKS * MD_HORIZON * MD_ENVS
+    capacity = MD_CAP_CHUNKS * MD_HORIZON * MD_ENVS
     params = init_maddpg(jax.random.PRNGKey(0), env.scenario.obs_width, mw,
                          env.n_agents)
     targets = jax.tree.map(lambda x: x, params)
