@@ -24,7 +24,8 @@ how different the agents' roles are.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+import dataclasses
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -98,23 +99,81 @@ def gumbel_softmax_st(logits, key, tau: float = 1.0):
     return hard + soft - jax.lax.stop_gradient(soft)
 
 
-class Buffer(NamedTuple):
-    obs: jax.Array    # [cap, A, O]
-    act: jax.Array    # [cap, A, K]
-    rew: jax.Array    # [cap, A]
-    obs2: jax.Array   # [cap, A, O] true next obs (pre-auto-reset)
+@dataclasses.dataclass(frozen=True)
+class Buffer:
+    """On-device replay ring: ONE fused 2-D row tensor.
+
+    ``data[i] = [obs | act | rew | obs2]`` flattened to
+    ``W = A*(2*O + K + 1)`` columns. Storing the ring as a single 2-D
+    table instead of per-field ``[cap, A, X]`` tensors is a measured
+    ~10x on the sampling path: TPU row-gathers from a 3-D table pay the
+    minor-dim (8, 128) tile padding (a [cap, 3, 18] gather moves ~19x
+    the bytes), and one fused row makes each update's sample ONE gather
+    instead of four. The ``obs/act/rew/obs2`` properties return the
+    per-field views for inspection; hot paths gather ``data`` rows
+    first and slice the result.
+    """
+    data: jax.Array   # [cap, W] f32
     ptr: jax.Array    # [] int32
     size: jax.Array   # [] int32
+    n_agents: int = 0     # static
+    obs_dim: int = 0      # static
+    act_dim: int = 0      # static
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def _split(self, rows):
+        """[R, W] gathered rows -> (obs [R, A, O], act [R, A, K],
+        rew [R, A], obs2 [R, A, O])."""
+        r = rows.shape[0]
+        a, o, k = self.n_agents, self.obs_dim, self.act_dim
+        ao, ak = a * o, a * k
+        return (rows[:, :ao].reshape(r, a, o),
+                rows[:, ao : ao + ak].reshape(r, a, k),
+                rows[:, ao + ak : ao + ak + a],
+                rows[:, ao + ak + a :].reshape(r, a, o))
+
+    @property
+    def obs(self):
+        return self._split(self.data)[0]
+
+    @property
+    def act(self):
+        return self._split(self.data)[1]
+
+    @property
+    def rew(self):
+        return self._split(self.data)[2]
+
+    @property
+    def obs2(self):
+        return self._split(self.data)[3]
+
+    @classmethod
+    def pack(cls, obs, act, rew, obs2, ptr, size):
+        """Build a Buffer from per-field [cap, A, X] / [cap, A] tensors."""
+        cap, a, o = obs.shape
+        k = act.shape[-1]
+        data = jnp.concatenate(
+            [obs.reshape(cap, -1), act.reshape(cap, -1), rew,
+             obs2.reshape(cap, -1)], axis=1).astype(jnp.float32)
+        return cls(data=data, ptr=ptr, size=size, n_agents=a, obs_dim=o,
+                   act_dim=k)
+
+
+jax.tree_util.register_dataclass(
+    Buffer, data_fields=["data", "ptr", "size"],
+    meta_fields=["n_agents", "obs_dim", "act_dim"])
 
 
 def init_buffer(capacity: int, n_agents: int, obs_dim: int, act_dim: int):
+    w = n_agents * (2 * obs_dim + act_dim + 1)
     return Buffer(
-        obs=jnp.zeros((capacity, n_agents, obs_dim), jnp.float32),
-        act=jnp.zeros((capacity, n_agents, act_dim), jnp.float32),
-        rew=jnp.zeros((capacity, n_agents), jnp.float32),
-        obs2=jnp.zeros((capacity, n_agents, obs_dim), jnp.float32),
+        data=jnp.zeros((capacity, w), jnp.float32),
         ptr=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
+        n_agents=n_agents, obs_dim=obs_dim, act_dim=act_dim,
     )
 
 
@@ -207,15 +266,14 @@ def build_maddpg(
             env_states, acts, jax.random.split(kstep, n_envs))
         idx = buffer.ptr
         f32 = jnp.float32  # buffer is f32 regardless of env dtype (x64 tests)
+        rows = jnp.concatenate(
+            [obs.astype(f32).reshape(n_envs, -1),
+             moves.astype(f32).reshape(n_envs, -1),
+             rew.astype(f32),
+             obs2.astype(f32).reshape(n_envs, -1)], axis=1)
         buffer = buffer._replace(
-            obs=jax.lax.dynamic_update_slice_in_dim(
-                buffer.obs, obs.astype(f32), idx, 0),
-            act=jax.lax.dynamic_update_slice_in_dim(
-                buffer.act, moves.astype(f32), idx, 0),
-            rew=jax.lax.dynamic_update_slice_in_dim(
-                buffer.rew, rew.astype(f32), idx, 0),
-            obs2=jax.lax.dynamic_update_slice_in_dim(
-                buffer.obs2, obs2.astype(f32), idx, 0),
+            data=jax.lax.dynamic_update_slice_in_dim(
+                buffer.data, rows, idx, 0),
             ptr=(idx + n_envs) % capacity,
             size=jnp.minimum(buffer.size + n_envs, capacity),
         )
@@ -245,10 +303,9 @@ def build_maddpg(
         the max() guard below only prevents randint(0, 0) UB."""
         idx = jax.random.randint(key, (batch,), 0,
                                  jnp.maximum(buffer.size, 1))
-        obs_b = buffer.obs[idx]
-        act_b = buffer.act[idx]
-        rew_b = buffer.rew[idx]
-        obs2_b = buffer.obs2[idx]
+        # ONE 2-D row gather, then slice (the fast sampling path —
+        # see the Buffer docstring)
+        obs_b, act_b, rew_b, obs2_b = buffer._split(buffer.data[idx])
 
         # target actions from target actors (deterministic per-head
         # argmax one-hots)
@@ -353,6 +410,73 @@ def build_maddpg(
     return reset_fn, collect_fn, update_fn, init_opt
 
 
+def build_fused_update(
+    env: MpeEnv,
+    batch: int = 256,
+    gamma: float = 0.95,
+    tau_polyak: float = 0.05,
+    actor_lr: float = 1e-3,
+    critic_lr: float = 1e-3,
+    ent_coef: float = 0.01,
+    hidden: int = 64,
+    block_b: int = 1024,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Drop-in fast path for ``build_maddpg``'s ``update_fn``: identical
+    signature, batch sampling, adam/polyak/actor-gating — but the whole
+    gradient (target actions, TD targets, critic backward, expected-Q
+    actor objective) computed by ONE Pallas kernel
+    (ops/fused_maddpg_update) instead of the XLA op chain. Grads are
+    pinned to ``jax.grad`` of update_fn's losses by
+    tests/test_fused_maddpg_update.py; pass the same hyperparameters as
+    ``build_maddpg`` (and ``hidden`` matching ``init_maddpg``)."""
+    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
+
+    mw = 2 * env.spec.dim_p + 1
+    aw = maddpg_act_dim(env)
+    obs_dim = env.scenario.obs_width
+    actor_opt = optax.adam(actor_lr)
+    critic_opt = optax.adam(critic_lr)
+    grads_fn = fused_maddpg_update(
+        env.n_agents, obs_dim, aw, mw, hidden=hidden, batch=batch,
+        gamma=gamma, ent_coef=ent_coef, block_b=block_b,
+        interpret=interpret, compute_dtype=compute_dtype)
+
+    @jax.jit
+    def update_fn(params, targets, opt_states, buffer: Buffer, key,
+                  do_actor=True):
+        idx = jax.random.randint(key, (batch,), 0,
+                                 jnp.maximum(buffer.size, 1))
+        obs_b, act_b, rew_b, obs2_b = buffer._split(buffer.data[idx])
+        grads, (closs, aloss, qmean) = grads_fn(
+            params, targets, obs_b, act_b, rew_b, obs2_b)
+
+        cupd, copt = critic_opt.update(
+            grads["critic"], opt_states["critic"], params["critic"])
+        new_critic = optax.apply_updates(params["critic"], cupd)
+        aupd, aopt = actor_opt.update(
+            grads["actor"], opt_states["actor"], params["actor"])
+        new_actor = optax.apply_updates(params["actor"], aupd)
+
+        gate = jnp.asarray(do_actor)
+        new_actor = jax.tree.map(
+            lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
+        aopt = jax.tree.map(
+            lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
+            aopt, opt_states["actor"])
+
+        params = {"actor": new_actor, "critic": new_critic}
+        targets = jax.tree.map(
+            lambda t, p: (1 - tau_polyak) * t + tau_polyak * p,
+            targets, params)
+        opt_states = {"actor": aopt, "critic": copt}
+        metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
+        return params, targets, opt_states, metrics
+
+    return update_fn
+
+
 def build_fused_collect(
     env: MpeEnv,
     n_envs: int,
@@ -400,35 +524,29 @@ def build_fused_collect(
         obs, act, rew, obs2 = traj(seed, actor_params)
         rew_a = _agent_rewards(kscn, rew)                 # [T, A, N]
 
-        def rowize(x):                  # [T, ..., N] -> [T*N, ...]
-            return jnp.moveaxis(x, -1, 1).reshape((rows_per_chunk,)
-                                                  + x.shape[1:-1])
+        def rowize(x):                  # [T, ..., N] -> [T*N, flat]
+            return jnp.moveaxis(x, -1, 1).reshape(rows_per_chunk, -1)
 
-        cap = buffer.obs.shape[0]
-        rows_o, rows_a, rows_r, rows_o2 = (
-            rowize(obs), rowize(act), rowize(rew_a), rowize(obs2))
+        cap = buffer.data.shape[0]
+        rows_all = jnp.concatenate(
+            [rowize(obs), rowize(act), rowize(rew_a), rowize(obs2)],
+            axis=1)                     # [T*N, W] fused buffer rows
 
-        # Fast path: the chunk fits before the ring edge — one contiguous
-        # dynamic_update_slice per field. Fallback (the chunk WRAPS, only
-        # possible when interleaved per-step collect_fn inserts left ptr
-        # misaligned): modular row scatter, because dynamic_update_slice
-        # would CLAMP at the capacity edge instead of wrapping, silently
-        # clobbering newer rows. The scatter costs ~70% of collect time
-        # on chip (tools/train_bench.py), so it must stay off the common
-        # path.
+        # Fast path: the chunk fits before the ring edge — ONE contiguous
+        # dynamic_update_slice into the fused row table. Fallback (the
+        # chunk WRAPS, only possible when interleaved per-step collect_fn
+        # inserts left ptr misaligned): modular row scatter, because
+        # dynamic_update_slice would CLAMP at the capacity edge instead
+        # of wrapping, silently clobbering newer rows. The scatter costs
+        # ~70% of collect time on chip (tools/train_bench.py), so it
+        # must stay off the common path.
         def _contiguous(b: Buffer) -> Buffer:
-            upd = lambda dst, src: jax.lax.dynamic_update_slice_in_dim(
-                dst, src, b.ptr, 0)
-            return b._replace(obs=upd(b.obs, rows_o), act=upd(b.act, rows_a),
-                              rew=upd(b.rew, rows_r),
-                              obs2=upd(b.obs2, rows_o2))
+            return b._replace(data=jax.lax.dynamic_update_slice_in_dim(
+                b.data, rows_all, b.ptr, 0))
 
         def _wrapping(b: Buffer) -> Buffer:
             rows = (b.ptr + jnp.arange(rows_per_chunk)) % cap
-            return b._replace(
-                obs=b.obs.at[rows].set(rows_o), act=b.act.at[rows].set(rows_a),
-                rew=b.rew.at[rows].set(rows_r),
-                obs2=b.obs2.at[rows].set(rows_o2))
+            return b._replace(data=b.data.at[rows].set(rows_all))
 
         buffer = jax.lax.cond(buffer.ptr + rows_per_chunk <= cap,
                               _contiguous, _wrapping, buffer)

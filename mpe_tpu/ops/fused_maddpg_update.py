@@ -1,0 +1,382 @@
+"""Fused MADDPG update: the whole per-agent-network gradient — target
+actions, TD targets, critic forward+backward, expected-Q actor gradient
+— in ONE Pallas kernel.
+
+The XLA update (learner/maddpg.py update_fn) is the MADDPG loop's
+bottleneck: ~118 us per batch-1024 update on a v5e chip
+(tools/maddpg_ablate.py), 62% of end-to-end loop time. The cost is NOT
+flops — it is ~60 SMALL per-agent matmuls ([64, 69] @ [69, 1024] etc.)
+each paying fixed op overhead with activations round-tripping HBM
+between them (a bf16 variant measured the same 140 us: pure overhead).
+This kernel therefore (a) keeps every activation in VMEM and (b)
+collapses the per-agent networks into STACKED operands so the whole
+update is ~24 matmuls regardless of agent count:
+
+  - activations carry all agents on sublanes ([A*H, N]);
+  - layer-1 critics share their input (the joint) so their weights
+    stack VERTICALLY ([A*H, J] @ [J, N] — zero waste);
+  - per-agent hidden layers become BLOCK-DIAGONAL matmuls
+    ([A*H, A*H] @ [A*H, N]), built once per call by the XLA wrapper;
+  - weight-gradient outer products emit PACKED [A*H, A*H] matrices in
+    one matmul; the wrapper extracts the diagonal blocks (the
+    off-diagonal cross-agent blocks are discarded padding).
+
+The update itself:
+
+  1. target actions  : stacked target-actor MLP on s', per-head
+                       first-argmax one-hots (``jnp.argmax`` tie-break);
+  2. TD targets      : stacked target critics on (s', a') ->
+                       y = r + gamma * Q' (episodes only truncate —
+                       bootstrap through the horizon);
+  3. critic grads    : d/dtheta mean_{A,B} (Q(s, a) - y)^2, hand-derived
+                       backward through the two tanh layers;
+  4. actor grads     : each agent maximizes the exact expectation of its
+                       critic over its own discrete action grid under
+                       its factored softmax policy (move x comm), others
+                       fixed from the buffer, critic STOP-GRADIENT — the
+                       gradient at the logits is analytic:
+                       dE/dz = p * (qbar - E). Candidate Q values reuse
+                       the critic's layer-1 pre-activation on the buffer
+                       joint: subtract each agent's own-action columns
+                       (one block-diag matmul), add the candidate's
+                       precomputed delta column, and run layers 2-3 on
+                       ALL (agent, candidate) pairs at once with
+                       candidates lane-concatenated — the XLA path
+                       re-runs layer 1 on C*B rows per agent;
+  5. entropy bonus   : the exact adjoint of update_fn's
+                       -sum p*log(p + 1e-10) form (the epsilon's
+                       p/(p+eps) term included), so grads match
+                       ``jax.grad`` at f64.
+
+Gradients are pinned to ``jax.grad`` of the identical XLA losses by
+tests/test_fused_maddpg_update.py (f64 interpret at 1e-9, plus a full
+update_fn A/B against the genuine learner at f32), and value-checked on
+hardware by tools/tpu_train_parity.py. Matmuls run in ``compute_dtype``
+with f32 accumulation (``preferred_element_type``) — f32 by default
+(MADDPG on spread is hyper-sensitive; see CLAUDE.md).
+
+Reference algorithm: Lowe et al. 2017, cited at
+/root/reference/README.md:65-78. The reference repo contains no
+learner; this is net-new TPU machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpe_tpu.ops.fused_policy import _argmax_onehot
+from mpe_tpu.ops.fused_update import _acc_dtype, _dot, _dot_nt
+
+f32 = jnp.float32
+
+
+def _softmax_eps(z, at, eps=1e-10):
+    """Softmax over axis 0 of [K, M] with update_fn's epsilon-guarded
+    entropy: returns (p, s, H) where H = -sum p*log(p+eps) [1, M] and
+    s = log(p+eps) + p/(p+eps) is the exact per-row adjoint factor of
+    that H (dH/dz_k = -p_k (s_k - sum_m p_m s_m))."""
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(at)
+    lse = jnp.log(p + eps)
+    s = lse + p / (p + eps)
+    ent = -jnp.sum(p * lse, axis=0, keepdims=True)
+    return p, s, ent
+
+
+def _sum2(x):
+    """Full [R, N] -> [1, 1] sum (two keepdims reduces, kernel-safe)."""
+    return jnp.sum(jnp.sum(x, axis=1, keepdims=True), axis=0,
+                   keepdims=True)
+
+
+def _maddpg_update_kernel(
+    obs, act, rew, obs2,
+    w1a, b1a, w2a, b2a, w3a, b3a, w2a_p, w3a_p,
+    w1c, b1c, w2c, b2c, w3c, b3c, w2c_p, w3c_p, w1c_act, dcand,
+    t1a, tb1a, t2a, tb2a, t3a, tb3a,
+    t1c, tb1c, t2c, tb2c, t3c, tb3c,
+    dw1a, db1a, dw2a, db2a, dw3a, db3a,
+    dw1c, db1c, dw2c, db2c, dw3c, db3c, msum,
+    *, a: int, mw: int, cw: int, gamma: float, ent_coef: float,
+    inv: float, block_b: int, cand_group: int, cd,
+):
+    at = _acc_dtype(cd)
+    nb = block_b
+    k = mw + cw
+    cwx = max(cw, 1)
+    n_cand = mw * cwx
+    outs = (dw1a, db1a, dw2a, db2a, dw3a, db3a,
+            dw1c, db1c, dw2c, db2c, dw3c, db3c, msum)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        for ref in outs:
+            ref[:] = jnp.zeros_like(ref)
+
+    x_obs = obs[:]                                        # [A*O, nb]
+    x_act = act[:]                                        # [A*K, nb]
+    joint = jnp.concatenate([x_obs, x_act], axis=0)       # [J, nb]
+
+    # 1. target actions: stacked target-actor MLP + per-head argmax
+    h = jnp.tanh(_dot(t1a[:], obs2[:], cd) + tb1a[:])     # [A*H, nb]
+    h = jnp.tanh(_dot(t2a[:], h, cd) + tb2a[:])
+    z2 = _dot(t3a[:], h, cd) + tb3a[:]                    # [A*K, nb]
+    act2_rows = []
+    for i in range(a):
+        act2_rows.append(_argmax_onehot(z2[i * k : i * k + mw], at))
+        if cw:
+            act2_rows.append(_argmax_onehot(z2[i * k + mw : (i + 1) * k],
+                                            at))
+    joint2 = jnp.concatenate([obs2[:]] + act2_rows, axis=0)   # [J, nb]
+
+    # 2. TD targets from the stacked target critics
+    g1 = jnp.tanh(_dot(t1c[:], joint2, cd) + tb1c[:])     # [A*H, nb]
+    g2 = jnp.tanh(_dot(t2c[:], g1, cd) + tb2c[:])
+    qn = _dot(t3c[:], g2, cd) + tb3c[:]                   # [A, nb]
+    y = rew[:] + gamma * qn
+
+    # 3. critic forward + TD gradient + backward (all agents at once)
+    pre = _dot(w1c[:], joint, cd) + b1c[:]                # [A*H, nb]
+    h1 = jnp.tanh(pre)
+    h2 = jnp.tanh(_dot(w2c[:], h1, cd) + b2c[:])
+    q = _dot(w3c[:], h2, cd) + b3c[:]                     # [A, nb]
+    d = (q - y).astype(at)
+    g3 = (2.0 * inv) * d
+    gh2 = _dot(w3c_p[:], g3, cd) * (1.0 - jnp.square(h2))
+    gh1 = _dot(w2c_p[:], gh2, cd) * (1.0 - jnp.square(h1))
+    dw1c[:] = dw1c[:] + _dot_nt(gh1, joint, cd)           # [A*H, J]
+    db1c[:] = db1c[:] + jnp.sum(gh1, axis=1, keepdims=True)
+    dw2c[:] = dw2c[:] + _dot_nt(gh2, h1, cd)              # [A*H, A*H]
+    db2c[:] = db2c[:] + jnp.sum(gh2, axis=1, keepdims=True)
+    dw3c[:] = dw3c[:] + _dot_nt(g3, h2, cd)               # [A, A*H]
+    db3c[:] = db3c[:] + jnp.sum(g3, axis=1, keepdims=True)
+    closs_s = _sum2(d * d)
+    q_s = _sum2(q)
+
+    # 4. actor forward (stacked) + exact expected-Q gradient
+    ha1 = jnp.tanh(_dot(w1a[:], x_obs, cd) + b1a[:])      # [A*H, nb]
+    ha2 = jnp.tanh(_dot(w2a[:], ha1, cd) + b2a[:])
+    z = _dot(w3a[:], ha2, cd) + b3a[:]                    # [A*K, nb]
+
+    # candidate Q for ALL (agent, candidate) pairs: layer-1 reuse
+    base = pre - _dot(w1c_act[:], x_act, cd)              # [A*H, nb]
+    qs = []                                               # C x [A, nb]
+    for g0 in range(0, n_cand, cand_group):
+        grp = list(range(g0, min(g0 + cand_group, n_cand)))
+        c1 = jnp.tanh(jnp.concatenate(
+            [base + dcand[:, c : c + 1] for c in grp], axis=1))
+        c2 = jnp.tanh(_dot(w2c[:], c1, cd) + b2c[:])      # [A*H, g*nb]
+        qg = _dot(w3c[:], c2, cd) + b3c[:]                # [A, g*nb]
+        for t in range(len(grp)):
+            qs.append(qg[:, t * nb : (t + 1) * nb].astype(at))
+
+    gz_rows = []
+    aloss_s = jnp.zeros((1, 1), at)
+    for i in range(a):
+        pm, sm, ent_m = _softmax_eps(z[i * k : i * k + mw], at)
+        if cw:
+            pc, sc, ent_c = _softmax_eps(z[i * k + mw : (i + 1) * k], at)
+            qbar_m = jnp.concatenate(
+                [sum(pc[j : j + 1] * qs[m * cwx + j][i : i + 1]
+                     for j in range(cwx)) for m in range(mw)], axis=0)
+            qbar_c = jnp.concatenate(
+                [sum(pm[m : m + 1] * qs[m * cwx + j][i : i + 1]
+                     for m in range(mw)) for j in range(cwx)], axis=0)
+        else:
+            qbar_m = jnp.concatenate([qs[m][i : i + 1] for m in range(mw)],
+                                     axis=0)              # [mw, nb]
+        exp_q = jnp.sum(pm * qbar_m, axis=0, keepdims=True)   # [1, nb]
+
+        gm = ((-1.0) * pm * (qbar_m - exp_q)
+              + ent_coef * pm
+              * (sm - jnp.sum(pm * sm, axis=0, keepdims=True))) * inv
+        gz_rows.append(gm)
+        ent = ent_m
+        if cw:
+            gc = ((-1.0) * pc * (qbar_c - exp_q)
+                  + ent_coef * pc
+                  * (sc - jnp.sum(pc * sc, axis=0, keepdims=True))) * inv
+            gz_rows.append(gc)
+            ent = ent_m + ent_c
+        aloss_s = aloss_s + jnp.sum(exp_q + ent_coef * ent, axis=1,
+                                    keepdims=True)
+
+    gz = jnp.concatenate(gz_rows, axis=0)                 # [A*K, nb]
+    gha2 = _dot(w3a_p[:], gz, cd) * (1.0 - jnp.square(ha2))
+    gha1 = _dot(w2a_p[:], gha2, cd) * (1.0 - jnp.square(ha1))
+    dw1a[:] = dw1a[:] + _dot_nt(gha1, x_obs, cd)          # [A*H, A*O]
+    db1a[:] = db1a[:] + jnp.sum(gha1, axis=1, keepdims=True)
+    dw2a[:] = dw2a[:] + _dot_nt(gha2, ha1, cd)            # [A*H, A*H]
+    db2a[:] = db2a[:] + jnp.sum(gha2, axis=1, keepdims=True)
+    dw3a[:] = dw3a[:] + _dot_nt(gz, ha2, cd)              # [A*K, A*H]
+    db3a[:] = db3a[:] + jnp.sum(gz, axis=1, keepdims=True)
+
+    pad = jnp.zeros((1, 1), at)
+    msum[:] = msum[:] + jnp.concatenate([closs_s, q_s, aloss_s, pad],
+                                        axis=0)
+
+
+def fused_maddpg_update(
+    n_agents: int,
+    obs_dim: int,
+    act_dim: int,
+    mw: int,
+    hidden: int,
+    batch: int,
+    gamma: float = 0.95,
+    ent_coef: float = 0.01,
+    block_b: int = 1024,
+    interpret: bool = False,
+    compute_dtype=f32,
+):
+    """Build ``grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b)
+    -> (grads, metrics)`` for the stacked per-agent pytrees of
+    learner.maddpg.init_maddpg. Inputs are the sampled replay batch in
+    row layout ([B, A, X] / [B, A] as stored by the Buffer); ``grads``
+    matches ``jax.grad`` of learner.maddpg.update_fn's critic_loss /
+    actor_loss (means over [A, B]); ``metrics`` is
+    (critic_loss, actor_loss, q_mean)."""
+    import numpy as np
+
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+
+    a = n_agents
+    cw = act_dim - mw
+    assert cw >= 0, (act_dim, mw)
+    k = act_dim
+    joint_w = a * (obs_dim + act_dim)
+    h = hidden
+    block_b = pick_block_envs(batch, block_b)
+    n_blocks = batch // block_b
+    inv = 1.0 / float(a * batch)
+    cwx = max(cw, 1)
+    n_cand = mw * cwx
+    # lane-concat candidates in groups so the [A*H, group*block_b]
+    # candidate activations stay within a few MB of VMEM
+    cand_group = max(1, min(n_cand, 4096 // block_b))
+
+    kernel = functools.partial(
+        _maddpg_update_kernel, a=a, mw=mw, cw=cw, gamma=float(gamma),
+        ent_coef=float(ent_coef), inv=inv, block_b=block_b,
+        cand_group=cand_group, cd=compute_dtype)
+
+    def batch_spec(rows):
+        return pl.BlockSpec((rows, block_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([batch_spec(a * obs_dim), batch_spec(a * k),
+                 batch_spec(a), batch_spec(a * obs_dim)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 30)
+    out_specs = (
+        whole((a * h, a * obs_dim)), whole((a * h, 1)),    # actor l1
+        whole((a * h, a * h)), whole((a * h, 1)),          # actor l2
+        whole((a * k, a * h)), whole((a * k, 1)),          # actor out
+        whole((a * h, joint_w)), whole((a * h, 1)),        # critic l1
+        whole((a * h, a * h)), whole((a * h, 1)),          # critic l2
+        whole((a, a * h)), whole((a, 1)),                  # critic out
+        whole((4, 1)),                                     # metric sums
+    )
+    acc_t = _acc_dtype(compute_dtype)
+    out_shapes = tuple(jax.ShapeDtypeStruct(s.block_shape, acc_t)
+                       for s in out_specs)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(grid=(n_blocks,), in_specs=tuple(in_specs),
+                              out_specs=out_specs),
+        out_shape=out_shapes, interpret=interpret)
+
+    aO = a * obs_dim
+    eye = jnp.eye(a, dtype=acc_t)
+    cand_np = np.zeros((n_cand, k), np.float32)
+    for m in range(mw):
+        for j in range(cwx):
+            cand_np[m * cwx + j, m] = 1.0
+            if cw:
+                cand_np[m * cwx + j, mw + j] = 1.0
+    cand = jnp.asarray(cand_np)
+
+    def _blkdiag(w):
+        """Stacked kernel-layout blocks [A, o, i] -> [A*o, A*i]."""
+        _, o, i = w.shape
+        full = (eye[:, None, :, None].astype(w.dtype)
+                * w[:, :, None, :])                    # [A, o, A, i]
+        return full.reshape(a * o, a * i)
+
+    def _diagblocks(full, o, i):
+        """[A*o, A*i] -> stacked diagonal blocks [A, o, i]."""
+        r = full.reshape(a, o, a, i)
+        return r[jnp.arange(a), :, jnp.arange(a), :]
+
+    @jax.jit
+    def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
+        kl = lambda w: jnp.transpose(w, (0, 2, 1)).astype(acc_t)
+        col = lambda b: b.reshape(-1, 1).astype(acc_t)  # [A, X] -> [A*X, 1]
+
+        def stacked_net(p, l1_shared: bool):
+            """(W1, b1, W2blk, b2, W3blk, b3) for one stacked MLP; the
+            layer-1 weight stacks vertically when the input is shared
+            (critics: the joint) and block-diagonally otherwise
+            (actors: per-agent obs on sublanes)."""
+            w1 = (kl(p["l1"]["w"]).reshape(-1, p["l1"]["w"].shape[1])
+                  if l1_shared else _blkdiag(kl(p["l1"]["w"])))
+            return (w1, col(p["l1"]["b"]),
+                    _blkdiag(kl(p["l2"]["w"])), col(p["l2"]["b"]),
+                    _blkdiag(kl(p["out"]["w"])), col(p["out"]["b"]))
+
+        w1a, b1a, w2a, b2a, w3a, b3a = stacked_net(params["actor"], False)
+        w1c, b1c, w2c, b2c, w3c, b3c = stacked_net(params["critic"], True)
+        w1c_param = params["critic"]["l1"]["w"]        # [A, J, H]
+        w1c_act = jnp.stack([
+            w1c_param[i, aO + i * k : aO + (i + 1) * k].T
+            for i in range(a)]).astype(acc_t)          # [A, H, K]
+        dcand = jnp.einsum("ahk,ck->ahc", w1c_act,
+                           cand.astype(acc_t)).reshape(a * h, n_cand)
+
+        rows = lambda x: x.reshape(x.shape[0], -1).T.astype(acc_t)
+        outs = call(
+            rows(obs_b), rows(act_b), rew_b.T.astype(acc_t), rows(obs2_b),
+            w1a, b1a, w2a, b2a, w3a, b3a, w2a.T, w3a.T,
+            w1c, b1c, w2c, b2c, w3c, b3c, w2c.T, w3c.T,
+            _blkdiag(w1c_act), dcand,
+            *stacked_net(targets["actor"], False),
+            *stacked_net(targets["critic"], True))
+        (dw1a, db1a, dw2a, db2a, dw3a, db3a,
+         dw1c, db1c, dw2c, db2c, dw3c, db3c, msum) = outs
+
+        pl_ = lambda w: jnp.transpose(w, (0, 2, 1))    # kernel -> param
+        grads = {
+            "actor": {
+                "l1": {"w": pl_(_diagblocks(dw1a, h, obs_dim)),
+                       "b": db1a.reshape(a, h)},
+                "l2": {"w": pl_(_diagblocks(dw2a, h, h)),
+                       "b": db2a.reshape(a, h)},
+                "out": {"w": pl_(_diagblocks(dw3a, k, h)),
+                        "b": db3a.reshape(a, k)},
+            },
+            "critic": {
+                "l1": {"w": pl_(dw1c.reshape(a, h, joint_w)),
+                       "b": db1c.reshape(a, h)},
+                "l2": {"w": pl_(_diagblocks(dw2c, h, h)),
+                       "b": db2c.reshape(a, h)},
+                "out": {"w": pl_(_diagblocks(dw3c, 1, h)),
+                        "b": db3c.reshape(a, 1)},
+            },
+        }
+        metrics = (msum[0, 0] * inv,            # critic loss
+                   -msum[2, 0] * inv,           # actor loss
+                   msum[1, 0] * inv)            # mean Q
+        return grads, metrics
+
+    grads_fn.block_b = block_b
+    return grads_fn

@@ -35,16 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 from mpe_tpu.ops.fused_rollout import make_lane_reset, make_uniform
 
 
-def _gumbel_onehot(logits, u, f32=jnp.float32):
-    """[K, M] logits + U[0,1) -> one-hot categorical sample [K, M]."""
-    k = logits.shape[0]
-    z = logits - jnp.log(-jnp.log(u + 1e-12) + 1e-12)
+def _argmax_onehot(z, f32=jnp.float32):
+    """[K, M] scores -> first-max one-hot [K, M] (the ``jnp.argmax``
+    tie-break, kernel dialect: unrolled row max + cumulative mask)."""
+    k = z.shape[0]
     zmax = z[0:1]                                             # stay 2-D
     for r in range(1, k):
         zmax = jnp.maximum(zmax, z[r : r + 1])
     onehot = (z >= zmax).astype(f32)
-    # ties are measure-zero under continuous gumbel noise; keep first
-    # deterministic anyway via cumulative mask
     taken = jnp.zeros_like(onehot[0:1])
     rows = []
     for r in range(k):
@@ -52,6 +50,14 @@ def _gumbel_onehot(logits, u, f32=jnp.float32):
         taken = jnp.minimum(taken + row, 1.0)
         rows.append(row)
     return jnp.concatenate(rows, axis=0)
+
+
+def _gumbel_onehot(logits, u, f32=jnp.float32):
+    """[K, M] logits + U[0,1) -> one-hot categorical sample [K, M].
+    Ties are measure-zero under continuous gumbel noise; first-max
+    tie-break keeps it deterministic anyway."""
+    return _argmax_onehot(logits - jnp.log(-jnp.log(u + 1e-12) + 1e-12),
+                          f32)
 
 
 def _policy_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step):

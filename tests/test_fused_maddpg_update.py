@@ -1,0 +1,216 @@
+"""ops/fused_maddpg_update: the hand-derived in-kernel MADDPG gradient
+must match ``jax.grad`` of the identical XLA losses (CPU, interpret
+mode), and the full fused update_fn must A/B-match the genuine
+learner.maddpg.build_maddpg update_fn on the same sampled batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpe_tpu import scenarios
+from mpe_tpu.envs import MpeEnv
+from mpe_tpu.learner.maddpg import (
+    Buffer, build_fused_update, build_maddpg, init_buffer, init_maddpg,
+    maddpg_act_dim)
+from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
+from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+GAMMA, ENTC = 0.95, 0.01
+
+
+def _replica_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
+                   mw, cw, gamma=GAMMA, ent_coef=ENTC):
+    """Dtype-general replica of learner.maddpg.update_fn's losses (the
+    learner hard-casts to f32 inside actor_logits_i/critic_q_i; this
+    copy keeps the input dtype so the kernel can be pinned at f64).
+    Faithfulness to the genuine learner is guarded by
+    test_fused_update_fn_matches_xla below."""
+    batch, a, aw = act_b.shape
+    dt = obs_b.dtype
+
+    def mlp(p, x):
+        x = jnp.tanh(x @ p["l1"]["w"] + p["l1"]["b"])
+        x = jnp.tanh(x @ p["l2"]["w"] + p["l2"]["b"])
+        return x @ p["out"]["w"] + p["out"]["b"]
+
+    actor_i = lambda ap, o: mlp(ap, o)
+    critic_i = lambda cp, j: mlp(cp, j)[..., 0]
+
+    tgt_logits = jax.vmap(
+        lambda o: jax.vmap(actor_i)(targets["actor"], o))(obs2_b)
+    act2 = jax.nn.one_hot(jnp.argmax(tgt_logits[..., :mw], -1), mw,
+                          dtype=dt)
+    if cw:
+        act2 = jnp.concatenate(
+            [act2, jax.nn.one_hot(jnp.argmax(tgt_logits[..., mw:], -1),
+                                  cw, dtype=dt)], axis=-1)
+    joint2 = jnp.concatenate([obs2_b.reshape(batch, -1),
+                              act2.reshape(batch, -1)], axis=-1)
+    q_next = jax.vmap(lambda cp: critic_i(cp, joint2))(targets["critic"])
+    y = jax.lax.stop_gradient(rew_b.T + gamma * q_next)
+
+    def critic_loss(cp):
+        joint = jnp.concatenate([obs_b.reshape(batch, -1),
+                                 act_b.reshape(batch, -1)], axis=-1)
+        q = jax.vmap(lambda c: critic_i(c, joint))(cp)
+        return jnp.mean(jnp.square(q - y)), jnp.mean(q)
+
+    (closs, qmean), cgrads = jax.value_and_grad(
+        critic_loss, has_aux=True)(params["critic"])
+
+    cwx = max(cw, 1)
+    n_cand = mw * cwx
+    cand_np = np.zeros((n_cand, aw))
+    for k in range(mw):
+        for j in range(cwx):
+            cand_np[k * cwx + j, k] = 1.0
+            if cw:
+                cand_np[k * cwx + j, mw + j] = 1.0
+    cand = jnp.asarray(cand_np, dt)
+
+    def actor_loss(ap):
+        logits = jax.vmap(lambda o: jax.vmap(actor_i)(ap, o))(obs_b)
+        probs_m = jax.nn.softmax(logits[..., :mw])
+        probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
+        total = 0.0
+        for i in range(a):
+            cp = jax.tree.map(lambda x: x[i], params["critic"])
+            mixed = jnp.broadcast_to(act_b, (n_cand,) + act_b.shape)
+            mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
+            joint = jnp.concatenate(
+                [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
+                                  (n_cand, batch, a * obs_b.shape[-1])),
+                 mixed.reshape(n_cand, batch, -1)], axis=-1)
+            q_all = critic_i(cp, joint)
+            w = probs_m[:, i]
+            if cw:
+                w = (w[..., :, None] * probs_c[:, i][..., None, :]
+                     ).reshape(batch, n_cand)
+            exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T), axis=-1)
+            ent = -jnp.sum(probs_m[:, i]
+                           * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
+            if cw:
+                ent = ent - jnp.sum(
+                    probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
+                    axis=-1)
+            total = total - (exp_q + ent_coef * ent).mean()
+        return total / a
+
+    aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+    return ({"actor": agrads, "critic": cgrads},
+            (closs, aloss, qmean))
+
+
+def _dims(name):
+    kscn = kernel_scenario(name)
+    spec = kscn.spec
+    mw = 2 * spec.dim_p + 1
+    cw = 0 if all(spec.silent) else spec.dim_c
+    return kscn.obs_w, spec.n_agents, mw, cw
+
+
+def _random_batch(key, batch, a, obs_dim, mw, cw, dt):
+    ks = jax.random.split(key, 5)
+    obs_b = jax.random.normal(ks[0], (batch, a, obs_dim), dt)
+    obs2_b = jax.random.normal(ks[1], (batch, a, obs_dim), dt)
+    rew_b = jax.random.normal(ks[2], (batch, a), dt)
+    act = jax.nn.one_hot(jax.random.randint(ks[3], (batch, a), 0, mw),
+                         mw, dtype=dt)
+    if cw:
+        act = jnp.concatenate(
+            [act, jax.nn.one_hot(
+                jax.random.randint(ks[4], (batch, a), 0, cw), cw,
+                dtype=dt)], axis=-1)
+    return obs_b, act, rew_b, obs2_b
+
+
+@pytest.mark.parametrize("name", ["simple_spread",
+                                  "simple_speaker_listener"])
+def test_fused_maddpg_update_grads_match_jax_grad_f64(name):
+    obs_dim, a, mw, cw = _dims(name)
+    aw = mw + cw
+    batch = 128
+    f64 = jnp.float64
+
+    params = jax.tree.map(
+        lambda x: x.astype(f64),
+        init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a, hidden=32))
+    # distinct targets (per-leaf perturbation) so the target-net paths
+    # are exercised
+    leaves, treedef = jax.tree.flatten(params)
+    tkeys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    targets = jax.tree.unflatten(
+        treedef, [x.astype(f64) + 0.1 * jax.random.normal(k, x.shape, f64)
+                  for x, k in zip(leaves, tkeys)])
+
+    batch_data = _random_batch(jax.random.PRNGKey(7), batch, a, obs_dim,
+                               mw, cw, f64)
+
+    want, (closs, aloss, qmean) = _replica_grads(
+        params, targets, *batch_data, mw=mw, cw=cw)
+
+    grads_fn = fused_maddpg_update(
+        a, obs_dim, aw, mw, hidden=32, batch=batch, gamma=GAMMA,
+        ent_coef=ENTC, block_b=64, interpret=True, compute_dtype=f64)
+    got, (closs_k, aloss_k, qmean_k) = grads_fn(params, targets,
+                                                *batch_data)
+
+    flat_w = jax.tree.flatten_with_path(want)[0]
+    flat_g = dict(jax.tree.flatten_with_path(got)[0])
+    scale = max(float(jnp.abs(leaf).max()) for _, leaf in flat_w)
+    for path, w in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(w),
+            atol=1e-9 * max(scale, 1.0), rtol=1e-9, err_msg=str(path))
+    np.testing.assert_allclose(float(closs_k), float(closs), rtol=1e-9)
+    np.testing.assert_allclose(float(aloss_k), float(aloss), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(qmean_k), float(qmean), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_fused_update_fn_matches_xla():
+    """Full drop-in A/B: build_fused_update == build_maddpg's update_fn
+    on the same buffer and key (f32, one update incl. adam + polyak +
+    actor gating)."""
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=25,
+                 auto_reset=True)
+    obs_dim = env.scenario.obs_width
+    aw = maddpg_act_dim(env)
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    batch, capacity = 64, 512
+
+    params = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a)
+    targets = jax.tree.map(lambda x: x, params)
+    _, _, update_xla, init_opt = build_maddpg(
+        env, n_envs=8, capacity=capacity, batch=batch, gamma=GAMMA,
+        tau_polyak=0.05, ent_coef=ENTC)
+    update_fused = build_fused_update(
+        env, batch=batch, gamma=GAMMA, tau_polyak=0.05, ent_coef=ENTC,
+        block_b=64, interpret=True)
+    opt_states = init_opt(params)
+
+    f32 = jnp.float32
+    obs_b, act_b, rew_b, obs2_b = _random_batch(
+        jax.random.PRNGKey(3), capacity, a, obs_dim, mw, aw - mw, f32)
+    buffer = Buffer.pack(obs_b, act_b, rew_b, obs2_b,
+                         ptr=jnp.int32(0), size=jnp.int32(capacity))
+
+    key = jax.random.PRNGKey(11)
+    for do_actor in (True, False):
+        px, tx, ox, mx = update_xla(params, targets, opt_states, buffer,
+                                    key, do_actor)
+        pf, tf, of, mf = update_fused(params, targets, opt_states, buffer,
+                                      key, do_actor)
+        for k in ("critic_loss", "actor_loss", "q"):
+            np.testing.assert_allclose(float(mf[k]), float(mx[k]),
+                                       rtol=2e-4, atol=1e-5, err_msg=k)
+        for name, got, want in (("params", pf, px), ("targets", tf, tx)):
+            fw = jax.tree.flatten_with_path(want)[0]
+            fg = dict(jax.tree.flatten_with_path(got)[0])
+            for path, w in fw:
+                np.testing.assert_allclose(
+                    np.asarray(fg[path]), np.asarray(w), atol=2e-5,
+                    rtol=1e-3, err_msg=f"{name}{path} do_actor={do_actor}")

@@ -122,25 +122,28 @@ def bench_fused_ppo(mesh, builder_name="build_fused_ppo_step"):
 
 MD_ENVS = 1024       # maddpg replay envs
 MD_HORIZON = 25
-MD_CHUNKS = 40       # timed fused chunks; xla runs MD_CHUNKS*MD_HORIZON iters
+MD_CHUNKS = 200      # timed fused chunks; xla runs MD_CHUNKS*MD_HORIZON iters
 MD_CAP_CHUNKS = 10   # ring capacity in chunks (the ring wraps while timing:
                      # chunk inserts stay aligned, so the contiguous fast
-                     # path is what's measured). MD_CHUNKS=40 puts ~0.3s+ of
-                     # work behind one dispatch — the tunnel's fixed
-                     # 30-100 ms round-trip would otherwise dominate.
+                     # path is what's measured). MD_CHUNKS=200 puts ~0.1s+ of
+                     # work behind one dispatch even for the fused loop —
+                     # the tunnel's fixed ~30 ms round-trip floor (measured:
+                     # a trivial scanned program costs ~30 ms regardless of
+                     # iteration count) would otherwise eat ~50% of it.
 
 
 def bench_maddpg(fused: bool):
     """MADDPG off-policy loop: collection + updates at the per-step
     loop's 1-update-per-(n_envs transitions) ratio. xla collects ONE
-    env step per iteration (learner/maddpg.collect_fn); fused collects
-    a horizon chunk per iteration via the per-agent Pallas kernel
-    (ops/fused_maddpg) then scans `horizon` updates. Equal transition
-    counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
+    env step per iteration (learner/maddpg.collect_fn) and updates with
+    the XLA op-chain update_fn; fused collects a horizon chunk per
+    iteration via the per-agent Pallas kernel (ops/fused_maddpg) then
+    scans `horizon` single-kernel updates (build_fused_update). Equal
+    transition counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
-    from mpe_tpu.learner import (build_fused_collect, build_maddpg,
-                                 init_buffer, init_maddpg)
+    from mpe_tpu.learner import (build_fused_collect, build_fused_update,
+                                 build_maddpg, init_buffer, init_maddpg)
 
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=MD_HORIZON,
                  auto_reset=True)
@@ -157,6 +160,7 @@ def bench_maddpg(fused: bool):
     if fused:
         collect = build_fused_collect(env, n_envs=MD_ENVS,
                                       n_steps=MD_HORIZON, t_chunk=5)
+        fused_update = build_fused_update(env, batch=1024)
 
         @jax.jit
         def iteration(carry, i):
@@ -165,7 +169,7 @@ def bench_maddpg(fused: bool):
 
             def upd(c, k):
                 p, t, o = c
-                p, t, o, m = update_fn(p, t, o, buffer, k, True)
+                p, t, o, m = fused_update(p, t, o, buffer, k, True)
                 return (p, t, o), m["q"]
 
             (params, targets, opt_states), _ = jax.lax.scan(
