@@ -178,6 +178,7 @@ def fused_maddpg_trajectory(
     block_envs: int = 1024,
     t_chunk: int = 8,
     interpret: bool = False,
+    hash_rng: bool = False,
 ):
     """Build ``run(seed, actor_params) -> (obs [T, A, OW, N],
     act [T, A, AW, N] one-hot f32, rew [T, R, N], obs2 [T, A, OW, N])``
@@ -208,10 +209,12 @@ def fused_maddpg_trajectory(
     rr = kscn.reward_rows
     n_goals = len(tuple(kscn.goal_choices or ()))
 
+    # hash_rng: Mosaic-compiled kernel drawing from the deterministic
+    # hash PRNG (the interpret path's), for on-chip value parity runs
     kernel = functools.partial(
         _maddpg_traj_kernel, kscn=kscn, t_chunk=t_chunk, horizon=horizon,
         block_envs=block_envs, eps_greedy=float(eps_greedy),
-        interpret=interpret)
+        interpret=interpret or hash_rng)
 
     scratch = [
         pltpu.VMEM((e, p, block_envs), jnp.float32),

@@ -70,9 +70,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpe_tpu.ops.fused_policy import _argmax_onehot
-from mpe_tpu.ops.fused_update import _acc_dtype, _dot, _dot_nt
+from mpe_tpu.ops.fused_update import VPAD, _acc_dtype, _dot, _dot_nt
 
 f32 = jnp.float32
+
+
+def _cpad(a: int) -> int:
+    """Row count for the stacked critic value heads: Mosaic computes
+    M=1 / K=1 matmuls in reduced precision (see ops/fused_update.VPAD),
+    so the single-agent case zero-pads the [A, A*H] head stack."""
+    return a if a >= 2 else VPAD
 
 
 def _softmax_eps(z, at, eps=1e-10):
@@ -104,7 +111,7 @@ def _maddpg_update_kernel(
     dw1a, db1a, dw2a, db2a, dw3a, db3a,
     dw1c, db1c, dw2c, db2c, dw3c, db3c, msum,
     *, a: int, mw: int, cw: int, gamma: float, ent_coef: float,
-    inv: float, block_b: int, cand_group: int, cd,
+    inv: float, block_b: int, cand_group: int, cd, ablate: str = "",
 ):
     at = _acc_dtype(cd)
     nb = block_b
@@ -124,38 +131,46 @@ def _maddpg_update_kernel(
     joint = jnp.concatenate([x_obs, x_act], axis=0)       # [J, nb]
 
     # 1. target actions: stacked target-actor MLP + per-head argmax
-    h = jnp.tanh(_dot(t1a[:], obs2[:], cd) + tb1a[:])     # [A*H, nb]
-    h = jnp.tanh(_dot(t2a[:], h, cd) + tb2a[:])
-    z2 = _dot(t3a[:], h, cd) + tb3a[:]                    # [A*K, nb]
-    act2_rows = []
-    for i in range(a):
-        act2_rows.append(_argmax_onehot(z2[i * k : i * k + mw], at))
-        if cw:
-            act2_rows.append(_argmax_onehot(z2[i * k + mw : (i + 1) * k],
-                                            at))
-    joint2 = jnp.concatenate([obs2[:]] + act2_rows, axis=0)   # [J, nb]
+    if "target" in ablate:          # timing ablation: zero targets
+        y = rew[:]
+    else:
+        h = jnp.tanh(_dot(t1a[:], obs2[:], cd) + tb1a[:])  # [A*H, nb]
+        h = jnp.tanh(_dot(t2a[:], h, cd) + tb2a[:])
+        z2 = _dot(t3a[:], h, cd) + tb3a[:]                 # [A*K, nb]
+        act2_rows = []
+        for i in range(a):
+            act2_rows.append(_argmax_onehot(z2[i * k : i * k + mw], at))
+            if cw:
+                act2_rows.append(
+                    _argmax_onehot(z2[i * k + mw : (i + 1) * k], at))
+        joint2 = jnp.concatenate([obs2[:]] + act2_rows, axis=0)  # [J, nb]
 
-    # 2. TD targets from the stacked target critics
-    g1 = jnp.tanh(_dot(t1c[:], joint2, cd) + tb1c[:])     # [A*H, nb]
-    g2 = jnp.tanh(_dot(t2c[:], g1, cd) + tb2c[:])
-    qn = _dot(t3c[:], g2, cd) + tb3c[:]                   # [A, nb]
-    y = rew[:] + gamma * qn
+        # 2. TD targets from the stacked target critics (the [_cpad(a)]
+        # padded value-head rows are sliced off — see _cpad)
+        g1 = jnp.tanh(_dot(t1c[:], joint2, cd) + tb1c[:])  # [A*H, nb]
+        g2 = jnp.tanh(_dot(t2c[:], g1, cd) + tb2c[:])
+        qn = (_dot(t3c[:], g2, cd) + tb3c[:])[:a]          # [A, nb]
+        y = rew[:] + gamma * qn
 
     # 3. critic forward + TD gradient + backward (all agents at once)
     pre = _dot(w1c[:], joint, cd) + b1c[:]                # [A*H, nb]
     h1 = jnp.tanh(pre)
     h2 = jnp.tanh(_dot(w2c[:], h1, cd) + b2c[:])
-    q = _dot(w3c[:], h2, cd) + b3c[:]                     # [A, nb]
+    q = (_dot(w3c[:], h2, cd) + b3c[:])[:a]               # [A, nb]
     d = (q - y).astype(at)
     g3 = (2.0 * inv) * d
-    gh2 = _dot(w3c_p[:], g3, cd) * (1.0 - jnp.square(h2))
-    gh1 = _dot(w2c_p[:], gh2, cd) * (1.0 - jnp.square(h1))
-    dw1c[:] = dw1c[:] + _dot_nt(gh1, joint, cd)           # [A*H, J]
-    db1c[:] = db1c[:] + jnp.sum(gh1, axis=1, keepdims=True)
-    dw2c[:] = dw2c[:] + _dot_nt(gh2, h1, cd)              # [A*H, A*H]
-    db2c[:] = db2c[:] + jnp.sum(gh2, axis=1, keepdims=True)
-    dw3c[:] = dw3c[:] + _dot_nt(g3, h2, cd)               # [A, A*H]
-    db3c[:] = db3c[:] + jnp.sum(g3, axis=1, keepdims=True)
+    if _cpad(a) != a:               # zero-pad rows (M=1/K=1 precision)
+        g3 = jnp.concatenate(
+            [g3, jnp.zeros((_cpad(a) - a, nb), g3.dtype)], axis=0)
+    if "cbwd" not in ablate:        # timing ablation: skip critic bwd
+        gh2 = _dot(w3c_p[:], g3, cd) * (1.0 - jnp.square(h2))
+        gh1 = _dot(w2c_p[:], gh2, cd) * (1.0 - jnp.square(h1))
+        dw1c[:] = dw1c[:] + _dot_nt(gh1, joint, cd)       # [A*H, J]
+        db1c[:] = db1c[:] + jnp.sum(gh1, axis=1, keepdims=True)
+        dw2c[:] = dw2c[:] + _dot_nt(gh2, h1, cd)          # [A*H, A*H]
+        db2c[:] = db2c[:] + jnp.sum(gh2, axis=1, keepdims=True)
+        dw3c[:] = dw3c[:] + _dot_nt(g3, h2, cd)           # [cpad, A*H]
+        db3c[:] = db3c[:] + jnp.sum(g3, axis=1, keepdims=True)
     closs_s = _sum2(d * d)
     q_s = _sum2(q)
 
@@ -165,20 +180,23 @@ def _maddpg_update_kernel(
     z = _dot(w3a[:], ha2, cd) + b3a[:]                    # [A*K, nb]
 
     # candidate Q for ALL (agent, candidate) pairs: layer-1 reuse
-    base = pre - _dot(w1c_act[:], x_act, cd)              # [A*H, nb]
-    qs = []                                               # C x [A, nb]
-    for g0 in range(0, n_cand, cand_group):
-        grp = list(range(g0, min(g0 + cand_group, n_cand)))
-        c1 = jnp.tanh(jnp.concatenate(
-            [base + dcand[:, c : c + 1] for c in grp], axis=1))
-        c2 = jnp.tanh(_dot(w2c[:], c1, cd) + b2c[:])      # [A*H, g*nb]
-        qg = _dot(w3c[:], c2, cd) + b3c[:]                # [A, g*nb]
-        for t in range(len(grp)):
-            qs.append(qg[:, t * nb : (t + 1) * nb].astype(at))
+    if "cand" in ablate:            # timing ablation: candidate Q = q
+        qs = [q.astype(at)] * n_cand
+    else:
+        base = pre - _dot(w1c_act[:], x_act, cd)          # [A*H, nb]
+        qs = []                                           # C x [A, nb]
+        for g0 in range(0, n_cand, cand_group):
+            grp = list(range(g0, min(g0 + cand_group, n_cand)))
+            c1 = jnp.tanh(jnp.concatenate(
+                [base + dcand[:, c : c + 1] for c in grp], axis=1))
+            c2 = jnp.tanh(_dot(w2c[:], c1, cd) + b2c[:])  # [A*H, g*nb]
+            qg = _dot(w3c[:], c2, cd) + b3c[:]            # [A, g*nb]
+            for t in range(len(grp)):
+                qs.append(qg[:, t * nb : (t + 1) * nb].astype(at))
 
     gz_rows = []
     aloss_s = jnp.zeros((1, 1), at)
-    for i in range(a):
+    for i in range(a if "asoft" not in ablate else 0):
         pm, sm, ent_m = _softmax_eps(z[i * k : i * k + mw], at)
         if cw:
             pc, sc, ent_c = _softmax_eps(z[i * k + mw : (i + 1) * k], at)
@@ -207,15 +225,17 @@ def _maddpg_update_kernel(
         aloss_s = aloss_s + jnp.sum(exp_q + ent_coef * ent, axis=1,
                                     keepdims=True)
 
-    gz = jnp.concatenate(gz_rows, axis=0)                 # [A*K, nb]
-    gha2 = _dot(w3a_p[:], gz, cd) * (1.0 - jnp.square(ha2))
-    gha1 = _dot(w2a_p[:], gha2, cd) * (1.0 - jnp.square(ha1))
-    dw1a[:] = dw1a[:] + _dot_nt(gha1, x_obs, cd)          # [A*H, A*O]
-    db1a[:] = db1a[:] + jnp.sum(gha1, axis=1, keepdims=True)
-    dw2a[:] = dw2a[:] + _dot_nt(gha2, ha1, cd)            # [A*H, A*H]
-    db2a[:] = db2a[:] + jnp.sum(gha2, axis=1, keepdims=True)
-    dw3a[:] = dw3a[:] + _dot_nt(gz, ha2, cd)              # [A*K, A*H]
-    db3a[:] = db3a[:] + jnp.sum(gz, axis=1, keepdims=True)
+    gz = (jnp.concatenate(gz_rows, axis=0) if gz_rows
+          else jnp.zeros((a * k, nb), at))                # [A*K, nb]
+    if "abwd" not in ablate:        # timing ablation: skip actor bwd
+        gha2 = _dot(w3a_p[:], gz, cd) * (1.0 - jnp.square(ha2))
+        gha1 = _dot(w2a_p[:], gha2, cd) * (1.0 - jnp.square(ha1))
+        dw1a[:] = dw1a[:] + _dot_nt(gha1, x_obs, cd)      # [A*H, A*O]
+        db1a[:] = db1a[:] + jnp.sum(gha1, axis=1, keepdims=True)
+        dw2a[:] = dw2a[:] + _dot_nt(gha2, ha1, cd)        # [A*H, A*H]
+        db2a[:] = db2a[:] + jnp.sum(gha2, axis=1, keepdims=True)
+        dw3a[:] = dw3a[:] + _dot_nt(gz, ha2, cd)          # [A*K, A*H]
+        db3a[:] = db3a[:] + jnp.sum(gz, axis=1, keepdims=True)
 
     pad = jnp.zeros((1, 1), at)
     msum[:] = msum[:] + jnp.concatenate([closs_s, q_s, aloss_s, pad],
@@ -234,6 +254,7 @@ def fused_maddpg_update(
     block_b: int = 1024,
     interpret: bool = False,
     compute_dtype=f32,
+    ablate: str = "",
 ):
     """Build ``grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b)
     -> (grads, metrics)`` for the stacked per-agent pytrees of
@@ -264,7 +285,7 @@ def fused_maddpg_update(
     kernel = functools.partial(
         _maddpg_update_kernel, a=a, mw=mw, cw=cw, gamma=float(gamma),
         ent_coef=float(ent_coef), inv=inv, block_b=block_b,
-        cand_group=cand_group, cd=compute_dtype)
+        cand_group=cand_group, cd=compute_dtype, ablate=ablate)
 
     def batch_spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
@@ -283,7 +304,7 @@ def fused_maddpg_update(
         whole((a * k, a * h)), whole((a * k, 1)),          # actor out
         whole((a * h, joint_w)), whole((a * h, 1)),        # critic l1
         whole((a * h, a * h)), whole((a * h, 1)),          # critic l2
-        whole((a, a * h)), whole((a, 1)),                  # critic out
+        whole((_cpad(a), a * h)), whole((_cpad(a), 1)),    # critic out
         whole((4, 1)),                                     # metric sums
     )
     acc_t = _acc_dtype(compute_dtype)
@@ -327,12 +348,20 @@ def fused_maddpg_update(
             """(W1, b1, W2blk, b2, W3blk, b3) for one stacked MLP; the
             layer-1 weight stacks vertically when the input is shared
             (critics: the joint) and block-diagonally otherwise
-            (actors: per-agent obs on sublanes)."""
+            (actors: per-agent obs on sublanes). Critic value-head
+            stacks are zero-padded to _cpad(a) rows when a == 1
+            (Mosaic M=1/K=1 matmul precision)."""
             w1 = (kl(p["l1"]["w"]).reshape(-1, p["l1"]["w"].shape[1])
                   if l1_shared else _blkdiag(kl(p["l1"]["w"])))
+            w3, b3 = _blkdiag(kl(p["out"]["w"])), col(p["out"]["b"])
+            if l1_shared and _cpad(a) != a:
+                zw = jnp.zeros((_cpad(a) - a, w3.shape[1]), w3.dtype)
+                w3 = jnp.concatenate([w3, zw], axis=0)
+                b3 = jnp.concatenate(
+                    [b3, jnp.zeros((_cpad(a) - a, 1), b3.dtype)], axis=0)
             return (w1, col(p["l1"]["b"]),
                     _blkdiag(kl(p["l2"]["w"])), col(p["l2"]["b"]),
-                    _blkdiag(kl(p["out"]["w"])), col(p["out"]["b"]))
+                    w3, b3)
 
         w1a, b1a, w2a, b2a, w3a, b3a = stacked_net(params["actor"], False)
         w1c, b1c, w2c, b2c, w3c, b3c = stacked_net(params["critic"], True)
@@ -369,8 +398,8 @@ def fused_maddpg_update(
                        "b": db1c.reshape(a, h)},
                 "l2": {"w": pl_(_diagblocks(dw2c, h, h)),
                        "b": db2c.reshape(a, h)},
-                "out": {"w": pl_(_diagblocks(dw3c, 1, h)),
-                        "b": db3c.reshape(a, 1)},
+                "out": {"w": pl_(_diagblocks(dw3c[:a], 1, h)),
+                        "b": db3c[:a].reshape(a, 1)},
             },
         }
         metrics = (msum[0, 0] * inv,            # critic loss

@@ -323,6 +323,7 @@ def fused_policy_trajectory(
     block_envs: int = 1024,
     t_chunk: int = 8,
     interpret: bool = False,
+    hash_rng: bool = False,
 ):
     """Build ``run(seed, params) -> (obs [T, A, OW, N], act [T, A, N]
     int32, [cact [T, A, N] int32 if the scenario has comm,] rew [R, N]
@@ -360,9 +361,13 @@ def fused_policy_trajectory(
     rr = kscn.reward_rows
     n_goals = len(tuple(kscn.goal_choices or ()))
 
+    # ``hash_rng`` compiles the kernel normally (Mosaic) but draws from
+    # the deterministic hash PRNG the interpret path uses, so the same
+    # builder run twice (interpret=True vs hash_rng=True) is comparable
+    # element-for-element on chip (tools/tpu_train_parity.py)
     kernel = functools.partial(
         _policy_traj_kernel, kscn=kscn, t_chunk=t_chunk, horizon=horizon,
-        block_envs=block_envs, interpret=interpret)
+        block_envs=block_envs, interpret=interpret or hash_rng)
 
     scratch = [
         pltpu.VMEM((e, p, block_envs), jnp.float32),        # pos

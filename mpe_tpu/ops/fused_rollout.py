@@ -187,18 +187,25 @@ def _uniform(shape, dtype=jnp.float32):
 
 
 def _hash_uniform(salt, shape, dtype=jnp.float32):
-    """Interpret-mode stand-in for the hardware PRNG: a stateless
-    murmur-style hash of (salt, element index). Only used when
-    ``interpret=True`` — CPU has no lowering for prng_seed/_random_bits."""
+    """Deterministic stand-in for the hardware PRNG: a stateless
+    murmur-style hash of (salt, element index). Used when
+    ``interpret=True`` (CPU has no lowering for prng_seed/_random_bits)
+    and by the ``hash_rng`` parity mode of the trajectory kernels, where
+    the same Mosaic-compiled kernel must reproduce the interpret run
+    exactly (tools/tpu_train_parity.py). All arithmetic stays in int32
+    (wrapping multiplies == the uint32 bit pattern; logical shifts) so
+    Mosaic can lower it — uint32->f32 casts are unsupported on TPU and
+    the final value fits 24 bits, so the int32->f32 cast is exact."""
     x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     for d in range(1, len(shape)):
         x = x * shape[d] + jax.lax.broadcasted_iota(jnp.int32, shape, d)
-    h = x.astype(jnp.uint32) + salt.astype(jnp.uint32) * jnp.uint32(2654435761)
+    i32 = lambda c: jnp.int32(np.int32(np.uint32(c)))
+    h = x + salt.astype(jnp.int32) * i32(2654435761)
     for c in (0x85EBCA6B, 0xC2B2AE35):
-        h = h ^ jax.lax.shift_right_logical(h, jnp.uint32(16))
-        h = h * jnp.uint32(c)
-    h = h ^ jax.lax.shift_right_logical(h, jnp.uint32(16))
-    return (jax.lax.shift_right_logical(h, jnp.uint32(8)).astype(dtype)
+        h = h ^ jax.lax.shift_right_logical(h, jnp.int32(16))
+        h = h * i32(c)
+    h = h ^ jax.lax.shift_right_logical(h, jnp.int32(16))
+    return (jax.lax.shift_right_logical(h, jnp.int32(8)).astype(dtype)
             * dtype(2.0 ** -24))
 
 

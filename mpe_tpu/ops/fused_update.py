@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 f32 = jnp.float32
 
+# Zero-pad rows for single-row value heads: Mosaic lowers M=1 / K=1
+# matmuls through a reduced-precision path (~1e-2 rel error; M,K>=2
+# are bit-exact vs XLA — measured by tools/tpu_train_parity.py probes)
+VPAD = 8
+
 
 def _acc_dtype(cd):
     """Accumulation dtype: f32, widened to f64 for exactness tests."""
@@ -295,13 +300,19 @@ def _mappo_update_kernel(
         _mlp_backprop_acc(acc, 0, x, h1, h2, g3, w2at, w3at, cd)
 
         # centralized critic forward + clipped value-loss gradient (its
-        # mean is over [T, N] — inv_bv — vs the actor's [T, A, N])
+        # mean is over [T, N] — inv_bv — vs the actor's [T, A, N]).
+        # The value head is ZERO-PADDED to VPAD rows because Mosaic
+        # computes M=1 / K=1 matmuls in reduced precision (~1e-2 rel,
+        # measured in tools/tpu_train_parity.py; M,K>=2 are bit-exact
+        # vs XLA) — the pad rows carry exact zeros through fwd and bwd
         g1 = jnp.tanh(_dot(w1c[:], xj, cd) + b1c[:])
         g2 = jnp.tanh(_dot(w2c[:], g1, cd) + b2c[:])
-        v = _dot(w3c[:], g2, cd) + b3c[:]   # [1, nb]
+        v = (_dot(w3c[:], g2, cd) + b3c[:])[0:1]   # [VPAD, nb] -> [1, nb]
         gv, vl_terms = _value_clip_grad(
             v, vold, ret, clip=clip, vf_coef=vf_coef, inv=inv_bv, at=at)
-        _mlp_backprop_acc(acc, 6, xj, g1, g2, gv, w2ct, w3ct, cd)
+        gv_pad = jnp.concatenate(
+            [gv, jnp.zeros((VPAD - 1, block_envs), gv.dtype)], axis=0)
+        _mlp_backprop_acc(acc, 6, xj, g1, g2, gv_pad, w2ct, w3ct, cd)
 
         acc[12] = acc[12] + _metric_sums(s1, s2, vl_terms, ent, at)
 
@@ -364,7 +375,7 @@ def fused_mappo_update(
     out_specs = (whole((h, ow)), whole((h, 1)), whole((h, h)),
                  whole((h, 1)), whole((k, h)), whole((k, 1)),
                  whole((h, a * ow)), whole((h, 1)), whole((h, h)),
-                 whole((h, 1)), whole((1, h)), whole((1, 1)),
+                 whole((h, 1)), whole((VPAD, h)), whole((VPAD, 1)),
                  whole((4, 1)))
     acc_t = _acc_dtype(compute_dtype)
     out_shapes = tuple(jax.ShapeDtypeStruct(s.block_shape, acc_t)
@@ -384,14 +395,19 @@ def fused_mappo_update(
             cm_oh = jnp.zeros(mv_oh.shape[:2] + mv_oh.shape[3:], acc_t)
         team = lambda s: s[:, None, :]       # [T, N] -> [T, 1, N]
         w2a, w3a = wt("a2"), wt("pi")
-        w2c, w3c = wt("c2"), wt("v")
+        w2c = wt("c2")
+        # value head zero-padded to VPAD rows (M=1 Mosaic precision)
+        w3c = jnp.concatenate(
+            [wt("v"), jnp.zeros((VPAD - 1, h), acc_t)], axis=0)
+        b3c = jnp.concatenate(
+            [bc("v"), jnp.zeros((VPAD - 1, 1), acc_t)], axis=0)
         (dw1a, db1a, dw2a, db2a, dw3a, db3a,
          dw1c, db1c, dw2c, db2c, dw3c, db3c, msum) = call(
             obs, mv_oh, cm_oh, logp_old, team(adv_n), team(ret),
             team(v_old),
             wt("a1"), bc("a1"), w2a, bc("a2"), w3a, bc("pi"),
             w2a.T, w3a.T,
-            wt("c1"), bc("c1"), w2c, bc("c2"), w3c, bc("v"),
+            wt("c1"), bc("c1"), w2c, bc("c2"), w3c, b3c,
             w2c.T, w3c.T)
         grads = {
             "a1": {"w": dw1a.T, "b": db1a[:, 0]},
@@ -399,7 +415,7 @@ def fused_mappo_update(
             "pi": {"w": dw3a.T, "b": db3a[:, 0]},
             "c1": {"w": dw1c.T, "b": db1c[:, 0]},
             "c2": {"w": dw2c.T, "b": db2c[:, 0]},
-            "v": {"w": dw3c.T, "b": db3c[:, 0]},
+            "v": {"w": dw3c[0:1].T, "b": db3c[0:1, 0]},
         }
         pg = msum[0, 0] * inv_b
         vl = msum[1, 0] * inv_bv
