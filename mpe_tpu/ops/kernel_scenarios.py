@@ -699,7 +699,16 @@ _KERNEL_SCENARIOS = {
 
 
 def kernel_scenario(name_or_scenario) -> KernelScenario:
-    """Kernel blocks for a scenario (by name or scenario instance)."""
+    """Kernel blocks for a scenario (by name or scenario instance).
+
+    This is the single chokepoint every fused builder (fused_rollout /
+    fused_policy / fused_trajectory / fused_maddpg) resolves scenarios
+    through, so spec features the kernels do NOT implement are rejected
+    here instead of silently dropped: action/comm noise (reference
+    core.py:132-140, 171-177 — none of the 9 built-in scenarios sets
+    them) and the scripted-agent ``action_callback`` hook (core.py:79,
+    117-120). Both are fully supported by the vmapped XLA engine
+    (envs/functional.py:75-96)."""
     if isinstance(name_or_scenario, str):
         from mpe_tpu import scenarios as registry
 
@@ -712,4 +721,19 @@ def kernel_scenario(name_or_scenario) -> KernelScenario:
             f"no fused kernel for {name!r}; available: "
             f"{sorted(_KERNEL_SCENARIOS)} (the vmapped XLA path in "
             f"mpe_tpu.parallel supports every scenario)")
+    if np.any(scn.spec.u_noise) or np.any(scn.spec.c_noise):
+        raise NotImplementedError(
+            f"scenario {name!r} sets u_noise/c_noise, which the fused "
+            "Pallas kernels do not implement — use the vmapped XLA "
+            "engine (mpe_tpu.envs.MpeEnv / mpe_tpu.parallel), which "
+            "reproduces the reference noise semantics exactly "
+            "(tests/test_noise_parity.py)")
+    from mpe_tpu.scenarios._base import Scenario as _Base
+
+    if type(scn).scripted_action is not _Base.scripted_action:
+        raise NotImplementedError(
+            f"scenario {name!r} overrides scripted_action (the "
+            "reference's action_callback path), which the fused Pallas "
+            "kernels do not implement — use the vmapped XLA engine "
+            "(envs/functional.py:83-96)")
     return _KERNEL_SCENARIOS[name](scn.spec)

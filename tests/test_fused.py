@@ -425,3 +425,47 @@ def test_mxu_physics_preserves_nonmovable_rows():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(vm), np.asarray(vg),
                                rtol=0, atol=1e-12)
+
+
+def test_fused_rejects_noisy_and_scripted_specs():
+    """Spec features the kernels do not implement must RAISE at build
+    time (kernel_scenario is every fused builder's chokepoint), not be
+    silently dropped; the same spec runs on the vmapped XLA engine
+    (reference noise semantics: core.py:132-140, pinned by
+    tests/test_noise_parity.py)."""
+    import copy
+    import dataclasses
+
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    base = scenarios.load("simple_spread")
+    noisy_spec = dataclasses.replace(
+        base.spec, u_noise=np.asarray([0.3, 0.0, 0.3]),
+        c_noise=np.asarray([0.0, 0.0, 0.0]))
+    noisy = copy.copy(base)
+    noisy.spec = noisy_spec
+    with pytest.raises(NotImplementedError, match="u_noise"):
+        kernel_scenario(noisy)
+
+    # ...and the fused builders go through the same chokepoint
+    from mpe_tpu.ops.fused_rollout import fused_rollout
+    with pytest.raises(NotImplementedError, match="vmapped XLA"):
+        fused_rollout(noisy, n_envs=16, n_steps=2, block_envs=16)
+
+    # the vmapped engine accepts it (noise applied, finite dynamics)
+    env = MpeEnv(noisy)
+    st, obs = env.reset(jax.random.PRNGKey(0))
+    act = jnp.zeros((env.n_agents, env.action_width), env.dtype)
+    st2, obs2, rew, done, _ = env.step(st, act, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(obs2).all()) and bool(jnp.isfinite(rew).all())
+    # noise actually perturbs the zero-action dynamics
+    assert float(jnp.abs(st2.vel[0]).max()) > 0.0
+
+    class _Scripted:
+        spec = base.spec
+
+        def scripted_action(self, state):
+            return None
+
+    with pytest.raises(NotImplementedError, match="scripted_action"):
+        kernel_scenario(_Scripted())
