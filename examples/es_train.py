@@ -23,57 +23,6 @@ import sys
 sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def build_es_step(kscn, params, n_envs, n_steps, horizon, pop, sigma, lr,
-                  interpret=False):
-    """-> jitted ``step(params, gen) -> (params, mean_score)``; one
-    generation of antithetic OpenAI-ES with rank shaping. ``pop`` counts
-    the +/- pair members (must be even)."""
-    import jax
-    import jax.numpy as jnp
-
-    from mpe_tpu.ops.fused_policy import fused_policy_rollout
-
-    assert pop % 2 == 0, "antithetic pairs need an even population"
-    half = pop // 2
-    run = fused_policy_rollout(
-        kscn, params, n_envs=n_envs, n_steps=n_steps, horizon=horizon,
-        block_envs=min(1024, n_envs), interpret=interpret)
-
-    def score(theta, gen):
-        ret, _, eps = run(gen, theta)
-        per_lane = ret.sum(0) / jnp.maximum(eps[0], 1.0)
-        return per_lane.mean()            # mean return per episode
-
-    @jax.jit
-    def step(params, gen):
-        key = jax.random.fold_in(jax.random.PRNGKey(17), gen)
-        leaves, treedef = jax.tree.flatten(params)
-        keys = jax.random.split(key, len(leaves))
-        noise = [jax.random.normal(k, (half,) + x.shape, x.dtype)
-                 for k, x in zip(keys, leaves)]
-
-        def eval_member(_, member):
-            sign, idx = member
-            theta = treedef.unflatten([
-                x + sign * sigma * n[idx] for x, n in zip(leaves, noise)])
-            return 0, score(theta, gen)
-
-        signs = jnp.concatenate([jnp.ones(half), -jnp.ones(half)])
-        idxs = jnp.concatenate([jnp.arange(half), jnp.arange(half)])
-        _, scores = jax.lax.scan(eval_member, 0, (signs, idxs))
-
-        # rank shaping: scores -> centered uniform weights in [-.5, .5]
-        order = jnp.argsort(jnp.argsort(scores))
-        w = order.astype(jnp.float32) / (pop - 1) - 0.5
-        wplus, wminus = w[:half], w[half:]
-        grads = [jnp.tensordot(wplus - wminus, n, axes=1) / (pop * sigma)
-                 for n in noise]
-        new_leaves = [x + lr * g for x, g in zip(leaves, grads)]
-        return treedef.unflatten(new_leaves), scores.mean()
-
-    return step
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="simple")
@@ -95,6 +44,7 @@ def main():
     import jax
 
     from mpe_tpu.learner import init_policy
+    from mpe_tpu.learner.es import build_es_step
     from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 
     k = kernel_scenario(args.scenario)

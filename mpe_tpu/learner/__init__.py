@@ -12,6 +12,7 @@ from mpe_tpu.learner.pg import (
     sample_actions,
     build_train_step,
 )
+from mpe_tpu.learner.es import build_es_step
 
 try:
     from mpe_tpu.learner.fused_ppo import (
@@ -46,6 +47,7 @@ except ModuleNotFoundError as _e:  # pragma: no cover - optax is in the image
     del _n
 
 __all__ = ["init_policy", "policy_logits", "sample_actions", "build_train_step",
+           "build_es_step",
            "build_ppo_step", "init_ac", "policy_value",
            "build_mappo_step", "init_mappo", "actor_logits", "central_value",
            "build_maddpg", "build_fused_collect", "build_fused_update",

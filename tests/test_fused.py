@@ -346,31 +346,27 @@ def test_kernel_physics_exact_overlap_finite():
     np.testing.assert_array_equal(np.asarray(v2[:3]), 0.0)
 
 
-def test_es_step_improves_or_runs():
-    """examples/es_train.build_es_step: one ES generation (lax.scan of
-    the fused policy-eval kernel over stacked antithetic members) is a
-    single jit, produces finite scores, and moves the parameters."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "examples"))
-    from es_train import build_es_step
-
+def test_es_learns_simple():
+    """learner.es.build_es_step CONVERGES on ``simple``: 30 antithetic
+    generations on the fused policy-eval kernel must improve the mean
+    episode return decisively (measured: ~-12 -> ~-6; assert >=25%
+    improvement of the last-5 mean over the first-5 mean)."""
     from mpe_tpu.learner import init_policy
+    from mpe_tpu.learner.es import build_es_step
     from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 
     k = kernel_scenario("simple")
     params = init_policy(jax.random.PRNGKey(0), k.obs_w, 5, hidden=16)
-    step = build_es_step(k, params, n_envs=16, n_steps=20, horizon=10,
-                         pop=4, sigma=0.05, lr=0.03, interpret=True)
-    p1, s1 = step(params, 0)
-    p2, s2 = step(p1, 1)
-    assert np.isfinite(float(s1)) and np.isfinite(float(s2))
-    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
-                for a, b in zip(jax.tree.leaves(params),
-                                jax.tree.leaves(p2)))
-    assert moved
+    step = build_es_step(k, params, n_envs=64, n_steps=20, horizon=10,
+                         pop=8, sigma=0.1, lr=0.1, interpret=True)
+    scores = []
+    for g in range(30):
+        params, s = step(params, g)
+        scores.append(float(s))
+    assert all(np.isfinite(s) for s in scores)
+    first = np.mean(scores[:5])
+    last = np.mean(scores[-5:])
+    assert last > first and abs(last) < 0.75 * abs(first), (first, last)
 
 
 def test_kernel_physics_exact_overlap_finite_f32():

@@ -36,7 +36,11 @@ def _ragged_actions(spec, rng, mode=ActionMode.DISCRETE):
     acts = []
     for i in range(spec.n_agents):
         if mode is ActionMode.DISCRETE_INDEX:
-            acts.append(int(rng.randint(0, 5)))
+            # integer index: 0-4 for movers, 0..dim_c-1 for speakers
+            # (environment.py:161-167 / :185-187); only single-segment
+            # agents are valid in this mode
+            hi = 5 if spec.movable[i] else spec.dim_c
+            acts.append(int(rng.randint(0, hi)))
             continue
         segs = []
         if spec.movable[i]:
@@ -46,6 +50,23 @@ def _ragged_actions(spec, rng, mode=ActionMode.DISCRETE):
             segs.append(rng.uniform(0, 1, spec.dim_c))
         acts.append(np.concatenate(segs))
     return acts
+
+
+def _single_segment(spec) -> bool:
+    """True when every agent has exactly one action segment — the only
+    shape the genuine env's DISCRETE_INDEX and CONTINUOUS modes support
+    (the multi-segment branches mis-shape in _set_action: the
+    MultiDiscrete split assumes default mode at environment.py:148-155,
+    and continuous Tuple actions land whole in ``u`` at :177)."""
+    return all(int(spec.movable[i]) + int(not spec.silent[i]) == 1
+               for i in range(spec.n_agents))
+
+
+# 7 of 9: simple_reference and simple_world_comm have movable+speaking
+# agents, which the genuine env only supports in the default mode
+SINGLE_SEGMENT_SCENARIOS = [
+    n for n in ALL_SCENARIOS
+    if _single_segment(factory.make_env(n).world_spec)]
 
 
 def _make_pair(name, seed, benchmark=False, **our_kwargs):
@@ -76,8 +97,10 @@ def _assert_step_equal(name, t, ref_out, our_out, n, atol=1e-9):
 
 
 @pytest.mark.parametrize("name", ALL_SCENARIOS)
-@pytest.mark.parametrize("seed", [0, 11])
+@pytest.mark.parametrize("seed", [0, 11, 23])
 def test_env_step_parity_genuine(name, seed):
+    """Default mode, 200 steps x 3 seeds per scenario — the same depth
+    the raw scenario layer gets (tests/test_parity_scenarios.py)."""
     ref_env, ref_obs_n, ours = _make_pair(name, seed)
     # initial observation parity on the injected state
     our_obs0 = ours._split_obs(ours.scenario.observation(ours.state))
@@ -87,7 +110,7 @@ def test_env_step_parity_genuine(name, seed):
             err_msg=f"{name} reset obs agent {i}")
 
     rng = np.random.RandomState(seed + 1)
-    for t in range(30):
+    for t in range(200):
         action_n = _ragged_actions(ours.world_spec, rng)
         ref_out = ref_env.step([np.array(a) for a in action_n])
         our_out = ours.step(action_n)
@@ -130,37 +153,113 @@ def test_env_benchmark_info_parity_adversary():
                     np.asarray(d["dists"]), np.asarray(ref_bd), atol=1e-9)
 
 
-def test_env_step_parity_discrete_index_mode():
+@pytest.mark.parametrize("name", SINGLE_SEGMENT_SCENARIOS)
+@pytest.mark.parametrize("seed", [7, 17])
+def test_env_step_parity_discrete_index_mode(name, seed):
     """discrete_action_input=True (environment.py:161-167, one-hot comm at
-    :185-187) — the integer path with its swapped index convention. Only
-    valid on single-segment agents (the genuine MultiDiscrete split assumes
-    the default mode)."""
+    :185-187) — the integer path with its swapped index convention, on
+    EVERY scenario the genuine env supports it for (all single-segment
+    ones; the genuine MultiDiscrete split assumes the default mode)."""
     ref_env, _, ours = _make_pair(
-        "simple_spread", 7, action_mode=ActionMode.DISCRETE_INDEX)
+        name, seed, action_mode=ActionMode.DISCRETE_INDEX)
     ref_env.discrete_action_input = True
-    rng = np.random.RandomState(8)
-    for t in range(20):
+    rng = np.random.RandomState(seed + 1)
+    for t in range(50):
         action_n = _ragged_actions(ours.world_spec, rng,
                                    ActionMode.DISCRETE_INDEX)
         ref_out = ref_env.step(list(action_n))
         our_out = ours.step(action_n)
-        _assert_step_equal("spread/index", t, ref_out, our_out, ours.n)
+        _assert_step_equal(f"{name}/index", t, ref_out, our_out, ours.n)
 
 
-def test_env_step_parity_continuous_mode():
-    """discrete_action_space=False (environment.py:176-177 raw Box force).
-    Single-segment agents only, as the genuine Tuple-space path is broken
-    (SURVEY §2.2 item 1)."""
+@pytest.mark.parametrize("name", SINGLE_SEGMENT_SCENARIOS)
+@pytest.mark.parametrize("seed", [9, 19])
+def test_env_step_parity_continuous_mode(name, seed):
+    """discrete_action_space=False (environment.py:176-177 raw Box force),
+    on every scenario the genuine env supports it for. Single-segment
+    agents only: the genuine Tuple-action path assigns the whole action
+    to ``u`` (environment.py:177) — see
+    test_continuous_multi_segment_documented_divergence."""
     ref_env, _, ours = _make_pair(
-        "simple_tag", 9, action_mode=ActionMode.CONTINUOUS)
+        name, seed, action_mode=ActionMode.CONTINUOUS)
     ref_env.discrete_action_space = False
-    rng = np.random.RandomState(10)
-    for t in range(20):
+    rng = np.random.RandomState(seed + 1)
+    for t in range(50):
         action_n = _ragged_actions(ours.world_spec, rng,
                                    ActionMode.CONTINUOUS)
         ref_out = ref_env.step([np.array(a) for a in action_n])
         our_out = ours.step(action_n)
-        _assert_step_equal("tag/continuous", t, ref_out, our_out, ours.n)
+        _assert_step_equal(f"{name}/continuous", t, ref_out, our_out,
+                           ours.n)
+
+
+def test_continuous_space_assembly_parity_genuine():
+    """Continuous-mode space ASSEMBLY vs the genuine env
+    (environment.py:47-57): Box(-u_range, u_range, (dim_p,)) for
+    movement, Box(0, 1, (dim_c,)) for comm, Tuple for movable+speaking
+    agents. The genuine flag is hardcoded True inside __init__
+    (environment.py:29-31), so a property override forces the
+    continuous branch of the genuine assembly code itself."""
+    cls = O.ref_env_class()
+    # class property: __init__'s hardcoded ``= True`` hits the no-op
+    # setter, every read returns False -> genuine continuous assembly
+    cls.discrete_action_space = property(lambda self: False,
+                                         lambda self, v: None)
+    try:
+        for name in ALL_SCENARIOS:
+            np.random.seed(0)
+            ref = O.load_ref_env(name)
+            ours = factory.make_env(name,
+                                    action_mode=ActionMode.CONTINUOUS)
+            for i, (r, s) in enumerate(zip(ref.action_space,
+                                           ours.action_space)):
+                _assert_space_equal(name, i, r, s)
+    finally:
+        del cls.discrete_action_space
+
+
+def _assert_space_equal(name, i, r, s):
+    import gym.spaces as gs  # the test-only stub (tests/_gym_stub.py)
+
+    if isinstance(r, gs.Tuple):
+        assert isinstance(s, spaces.Tuple), (name, i, type(s))
+        for rr, ss in zip(r.spaces, s.spaces):
+            _assert_space_equal(name, i, rr, ss)
+    elif isinstance(r, gs.Box):
+        assert isinstance(s, spaces.Box), (name, i, type(s))
+        assert tuple(r.shape) == tuple(s.shape), (name, i)
+        np.testing.assert_allclose(np.broadcast_to(r.low, r.shape),
+                                   np.broadcast_to(s.low, s.shape),
+                                   err_msg=f"{name} agent {i} low")
+        np.testing.assert_allclose(np.broadcast_to(r.high, r.shape),
+                                   np.broadcast_to(s.high, s.shape),
+                                   err_msg=f"{name} agent {i} high")
+    else:
+        raise AssertionError((name, i, type(r)))
+
+
+def test_continuous_multi_segment_documented_divergence():
+    """DOCUMENTED DIVERGENCE (SURVEY §2.2 item 1 / VERDICT r2 missing
+    #3): in continuous mode the genuine env assembles Tuple(Box, Box)
+    actions for movable+speaking agents but ``_set_action`` assigns the
+    WHOLE action to ``u`` (environment.py:177) — the branch is broken in
+    the reference. Our decoder splits the [P | dim_c] row correctly, so
+    the same scenarios simply WORK here; this test pins our behavior
+    and the reference breakage."""
+    ours = factory.make_env("simple_reference",
+                            action_mode=ActionMode.CONTINUOUS)
+    rng = np.random.RandomState(3)
+    action_n = _ragged_actions(ours.world_spec, rng, ActionMode.CONTINUOUS)
+    obs_n, rew_n, done_n, _ = ours.step(action_n)
+    assert all(np.isfinite(o).all() for o in obs_n)
+    assert all(np.isfinite(r) for r in rew_n)
+
+    np.random.seed(0)
+    ref_env = O.load_ref_env("simple_reference")
+    ref_env.discrete_action_space = False
+    with pytest.raises(Exception):
+        # whole [P+C] array lands in action.u -> shape blowup downstream
+        ref_env.step([np.asarray(a) for a in action_n])
 
 
 @pytest.mark.parametrize("name", ALL_SCENARIOS)
