@@ -93,8 +93,9 @@ def main():
 
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
-    from mpe_tpu.learner import (build_fused_collect, build_fused_update,
-                                 build_maddpg, init_buffer, init_maddpg)
+    from mpe_tpu.learner import (build_fused_collect,
+                                 build_fused_update_chunk, build_maddpg,
+                                 init_buffer, init_maddpg)
     from mpe_tpu.learner.maddpg import maddpg_act_dim
 
     cpu = jax.default_backend() == "cpu"
@@ -117,27 +118,22 @@ def main():
     collect = build_fused_collect(
         env, n_envs=n_envs, n_steps=horizon,
         block_envs=min(1024, n_envs), eps_greedy=args.eps, interpret=cpu)
-    update = build_fused_update(
-        env, batch=args.batch, tau_polyak=args.tau, actor_lr=args.lr,
-        critic_lr=args.lr, ent_coef=args.ent_coef, interpret=cpu)
+    update_chunk = build_fused_update_chunk(
+        env, horizon, batch=args.batch, tau_polyak=args.tau,
+        actor_lr=args.lr, critic_lr=args.lr, ent_coef=args.ent_coef,
+        interpret=cpu)
     base_key = jax.random.PRNGKey(args.seed + 7)
 
     def chunk_body(carry, i):
         params, targets, opt_states, buffer = carry
         buffer, mr = collect(params["actor"], buffer, 10_000 + i)
-
-        def upd(c, k):
-            p, t, o = c
-            u = i * horizon + k
-            do_a = (u >= args.actor_start) & (k % 2 == 0)
-            p, t, o, m = update(p, t, o, buffer,
-                                jax.random.fold_in(base_key, u), do_a)
-            return (p, t, o), m["critic_loss"]
-
-        (params, targets, opt_states), cl = jax.lax.scan(
-            upd, (params, targets, opt_states),
-            jnp.arange(horizon, dtype=jnp.int32))
-        return (params, targets, opt_states, buffer), (mr, cl.mean())
+        u = i * horizon + jnp.arange(horizon)
+        gates = (u >= args.actor_start) & (u % horizon % 2 == 0)
+        params, targets, opt_states, m = update_chunk(
+            params, targets, opt_states, buffer,
+            jax.random.fold_in(base_key, i), gates)
+        return (params, targets, opt_states, buffer), (mr,
+                                                       m["critic_loss"])
 
     from functools import partial
 

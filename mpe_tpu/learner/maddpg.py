@@ -477,6 +477,96 @@ def build_fused_update(
     return update_fn
 
 
+def build_fused_update_chunk(
+    env: MpeEnv,
+    n_updates: int,
+    batch: int = 256,
+    gamma: float = 0.95,
+    tau_polyak: float = 0.05,
+    actor_lr: float = 1e-3,
+    critic_lr: float = 1e-3,
+    ent_coef: float = 0.01,
+    hidden: int = 64,
+    block_b: int = 1024,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """``n_updates`` sequential fused updates per call with the replay
+    batches PRE-GATHERED in one read: ``update_chunk(params, targets,
+    opt_states, buffer, key, gates) -> (params, targets, opt_states,
+    metrics)``.
+
+    Sampling a batch per update costs ~12 us of random-row gather on
+    chip — comparable to the 23 us gradient kernel — and TPU compute
+    ops cannot overlap, so the per-update ``build_fused_update`` pays
+    it serially every step. Replay contents don't change between the
+    updates of a chunk (collection inserts once per chunk), so all
+    ``n_updates`` batches can be gathered in ONE [U*B]-row read and the
+    update scan runs gather-free. Update u samples with key
+    ``fold_in(key, u)`` exactly like calling ``build_fused_update``'s
+    update_fn in a loop would — pinned by tests/test_fused_maddpg_update.
+
+    ``gates`` is a bool [n_updates] vector of per-update ``do_actor``
+    flags (the critic-warmup / actor-delay schedule)."""
+    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
+
+    mw = 2 * env.spec.dim_p + 1
+    aw = maddpg_act_dim(env)
+    obs_dim = env.scenario.obs_width
+    actor_opt = optax.adam(actor_lr)
+    critic_opt = optax.adam(critic_lr)
+    grads_fn = fused_maddpg_update(
+        env.n_agents, obs_dim, aw, mw, hidden=hidden, batch=batch,
+        gamma=gamma, ent_coef=ent_coef, block_b=block_b,
+        interpret=interpret, compute_dtype=compute_dtype)
+
+    @jax.jit
+    def update_chunk(params, targets, opt_states, buffer: Buffer, key,
+                     gates):
+        keys = jax.vmap(lambda u: jax.random.fold_in(key, u))(
+            jnp.arange(n_updates, dtype=jnp.uint32))
+        idx = jax.vmap(lambda k: jax.random.randint(
+            k, (batch,), 0, jnp.maximum(buffer.size, 1)))(keys)
+        rows = buffer.data[idx.reshape(-1)].reshape(
+            n_updates, batch, buffer.data.shape[1])
+
+        def body(c, xs):
+            p, t, o = c
+            rows_u, gate = xs
+            obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
+            grads, (closs, aloss, qmean) = grads_fn(
+                p, t, obs_b, act_b, rew_b, obs2_b)
+            cupd, copt = critic_opt.update(
+                grads["critic"], o["critic"], p["critic"])
+            new_critic = optax.apply_updates(p["critic"], cupd)
+            aupd, aopt = actor_opt.update(
+                grads["actor"], o["actor"], p["actor"])
+            new_actor = optax.apply_updates(p["actor"], aupd)
+            new_actor = jax.tree.map(
+                lambda n_, o_: jnp.where(gate, n_, o_),
+                new_actor, p["actor"])
+            aopt = jax.tree.map(
+                lambda n_, o_: (jnp.where(gate, n_, o_)
+                                if hasattr(n_, "shape") else n_),
+                aopt, o["actor"])
+            p = {"actor": new_actor, "critic": new_critic}
+            t = jax.tree.map(
+                lambda tt, pp: (1 - tau_polyak) * tt + tau_polyak * pp,
+                t, p)
+            o = {"actor": aopt, "critic": copt}
+            return (p, t, o), (closs, aloss, qmean)
+
+        (params, targets, opt_states), (cl, al, q) = jax.lax.scan(
+            body, (params, targets, opt_states),
+            (rows, jnp.asarray(gates)))
+        metrics = {"critic_loss": cl[-1], "actor_loss": al[-1],
+                   "q": q[-1]}
+        return params, targets, opt_states, metrics
+
+    update_chunk.n_updates = n_updates
+    return update_chunk
+
+
 def build_fused_collect(
     env: MpeEnv,
     n_envs: int,

@@ -11,8 +11,8 @@ import pytest
 from mpe_tpu import scenarios
 from mpe_tpu.envs import MpeEnv
 from mpe_tpu.learner.maddpg import (
-    Buffer, build_fused_update, build_maddpg, init_buffer, init_maddpg,
-    maddpg_act_dim)
+    Buffer, build_fused_update, build_fused_update_chunk, build_maddpg,
+    init_buffer, init_maddpg, maddpg_act_dim)
 from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
 from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 
@@ -214,3 +214,57 @@ def test_fused_update_fn_matches_xla():
                 np.testing.assert_allclose(
                     np.asarray(fg[path]), np.asarray(w), atol=2e-5,
                     rtol=1e-3, err_msg=f"{name}{path} do_actor={do_actor}")
+
+
+def test_update_chunk_matches_per_update_loop():
+    """build_fused_update_chunk (one pre-gathered replay read + scanned
+    kernel updates) must EXACTLY reproduce a Python loop of
+    build_fused_update's update_fn under the same key schedule
+    (update u's key = fold_in(key, u)) and gate schedule."""
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=25,
+                 auto_reset=True)
+    obs_dim = env.scenario.obs_width
+    aw = maddpg_act_dim(env)
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    batch, capacity, n_updates = 64, 512, 6
+
+    params = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a)
+    targets = jax.tree.map(lambda x: x, params)
+    _, _, _, init_opt = build_maddpg(env, n_envs=8, capacity=capacity,
+                                     batch=batch, tau_polyak=0.03)
+    per_update = build_fused_update(env, batch=batch, tau_polyak=0.03,
+                                    block_b=64, interpret=True)
+    chunk = build_fused_update_chunk(env, n_updates, batch=batch,
+                                     tau_polyak=0.03, block_b=64,
+                                     interpret=True)
+    opt_states = init_opt(params)
+    f32 = jnp.float32
+    obs_b, act_b, rew_b, obs2_b = _random_batch(
+        jax.random.PRNGKey(3), capacity, a, obs_dim, mw, aw - mw, f32)
+    buffer = Buffer.pack(obs_b, act_b, rew_b, obs2_b,
+                         ptr=jnp.int32(0), size=jnp.int32(capacity))
+
+    key = jax.random.PRNGKey(21)
+    gates = [u >= 2 and u % 2 == 0 for u in range(n_updates)]
+
+    pl_, tl, ol = params, targets, opt_states
+    for u in range(n_updates):
+        pl_, tl, ol, ml = per_update(pl_, tl, ol, buffer,
+                                     jax.random.fold_in(key, u), gates[u])
+    pc, tc, oc, mc = chunk(params, targets, opt_states, buffer, key,
+                           jnp.asarray(gates))
+
+    # identical math; scan-vs-loop compilation may reassociate f32
+    # arithmetic (measured <=1e-9 drift over 6 updates), so tight
+    # allclose rather than bitwise
+    for name, got, want in (("params", pc, pl_), ("targets", tc, tl)):
+        fw = jax.tree.flatten_with_path(want)[0]
+        fg = dict(jax.tree.flatten_with_path(got)[0])
+        for path, w in fw:
+            np.testing.assert_allclose(
+                np.asarray(fg[path]), np.asarray(w), atol=1e-7,
+                rtol=1e-5, err_msg=f"{name}{path}")
+    for k in ("critic_loss", "actor_loss", "q"):
+        np.testing.assert_allclose(np.asarray(mc[k]), np.asarray(ml[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

@@ -142,8 +142,9 @@ def bench_maddpg(fused: bool):
     transition counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
-    from mpe_tpu.learner import (build_fused_collect, build_fused_update,
-                                 build_maddpg, init_buffer, init_maddpg)
+    from mpe_tpu.learner import (build_fused_collect,
+                                 build_fused_update_chunk, build_maddpg,
+                                 init_buffer, init_maddpg)
 
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=MD_HORIZON,
                  auto_reset=True)
@@ -160,22 +161,17 @@ def bench_maddpg(fused: bool):
     if fused:
         collect = build_fused_collect(env, n_envs=MD_ENVS,
                                       n_steps=MD_HORIZON, t_chunk=5)
-        fused_update = build_fused_update(env, batch=1024)
+        update_chunk = build_fused_update_chunk(env, MD_HORIZON,
+                                                batch=1024)
+        gates = jnp.ones((MD_HORIZON,), bool)
 
         @jax.jit
         def iteration(carry, i):
             params, targets, opt_states, buffer = carry
             buffer, mr = collect(params["actor"], buffer, i)
-
-            def upd(c, k):
-                p, t, o = c
-                p, t, o, m = fused_update(p, t, o, buffer, k, True)
-                return (p, t, o), m["q"]
-
-            (params, targets, opt_states), _ = jax.lax.scan(
-                upd, (params, targets, opt_states),
-                jax.random.split(jax.random.fold_in(
-                    jax.random.PRNGKey(7), i), MD_HORIZON))
+            params, targets, opt_states, _ = update_chunk(
+                params, targets, opt_states, buffer,
+                jax.random.fold_in(jax.random.PRNGKey(7), i), gates)
             return (params, targets, opt_states, buffer), mr
 
         @jax.jit
