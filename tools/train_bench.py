@@ -138,7 +138,8 @@ def bench_maddpg(fused: bool):
     env step per iteration (learner/maddpg.collect_fn) and updates with
     the XLA op-chain update_fn; fused collects a horizon chunk per
     iteration via the per-agent Pallas kernel (ops/fused_maddpg) then
-    scans `horizon` single-kernel updates (build_fused_update). Equal
+    runs `horizon` single-kernel updates on pre-gathered batches
+    (build_fused_update_chunk). Equal
     transition counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
