@@ -125,8 +125,13 @@ def main():
         if args.fused_collect:
             # replay collected by the per-agent-network Pallas kernel
             # (ops/fused_maddpg): one horizon-length chunk per iteration
-            # + `horizon` updates keeps the per-transition update ratio
-            # of the per-step loop
+            # + `horizon` single-kernel updates on pre-gathered batches
+            # (build_fused_update_chunk) keeps the per-transition update
+            # ratio of the per-step loop. For long runs prefer
+            # examples/maddpg_run.py, which additionally lax.scans the
+            # chunks on-device (24k updates in ~2 min on one chip).
+            from mpe_tpu.learner import build_fused_update_chunk
+
             horizon = env.max_steps
             # the gate below counts UPDATES (it*horizon+k); rescale so
             # the critic-only warmup matches the per-step loop's swept
@@ -136,16 +141,20 @@ def main():
                 env, n_envs=maddpg_envs, n_steps=horizon,
                 block_envs=min(1024, maddpg_envs),
                 interpret=jax.default_backend() == "cpu")
+            update_chunk = build_fused_update_chunk(
+                env, horizon, batch=1024, tau_polyak=0.01,
+                actor_lr=args.lr / 3, critic_lr=args.lr / 3,
+                interpret=jax.default_backend() == "cpu")
             for i in range(max(1, 200 // horizon)):   # buffer warmup
                 buffer, _ = collect(params["actor"], buffer, i)
             for it in range(args.iters):
                 buffer, mr = collect(params["actor"], buffer,
                                      10_000 + it)
-                for k in range(horizon):
-                    params, targets, opt_states, m = update_fn(
-                        params, targets, opt_states, buffer,
-                        jax.random.fold_in(key, 90_000 + it * horizon + k),
-                        (it * horizon + k >= actor_start) and (k % 2 == 0))
+                u = it * horizon + jnp.arange(horizon)
+                gates = (u >= actor_start) & (u % 2 == 0)
+                params, targets, opt_states, m = update_chunk(
+                    params, targets, opt_states, buffer,
+                    jax.random.fold_in(key, 90_000 + it), gates)
                 if it % 20 == 0 or it == args.iters - 1:
                     print(f"iter {it:5d}  reward/step {float(mr):+.3f}  "
                           f"q {float(m['q']):+.2f}")

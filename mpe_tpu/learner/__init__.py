@@ -18,8 +18,8 @@ try:
     from mpe_tpu.learner.fused_ppo import (
         build_fused_mappo_step, build_fused_ppo_step)
     from mpe_tpu.learner.maddpg import (
-        build_fused_collect, build_fused_update, build_fused_update_chunk,
-        build_maddpg, init_buffer, init_maddpg)
+        build_fused_collect, build_fused_maddpg_dp, build_fused_update,
+        build_fused_update_chunk, build_maddpg, init_buffer, init_maddpg)
     from mpe_tpu.learner.ppo import (
         actor_logits, build_mappo_step, build_ppo_step, central_value,
         init_ac, init_mappo, policy_value)
@@ -38,7 +38,8 @@ except ModuleNotFoundError as _e:  # pragma: no cover - optax is in the image
         return _raiser
 
     for _n in ("build_maddpg", "build_fused_collect", "build_fused_update",
-               "build_fused_update_chunk", "init_buffer",
+               "build_fused_update_chunk", "build_fused_maddpg_dp",
+               "init_buffer",
                "init_maddpg", "actor_logits",
                "build_mappo_step", "build_ppo_step", "central_value",
                "init_ac", "init_mappo", "policy_value",
@@ -51,5 +52,6 @@ __all__ = ["init_policy", "policy_logits", "sample_actions", "build_train_step",
            "build_ppo_step", "init_ac", "policy_value",
            "build_mappo_step", "init_mappo", "actor_logits", "central_value",
            "build_maddpg", "build_fused_collect", "build_fused_update",
-           "build_fused_update_chunk", "init_maddpg", "init_buffer",
+           "build_fused_update_chunk", "build_fused_maddpg_dp",
+           "init_maddpg", "init_buffer",
            "build_fused_ppo_step", "build_fused_mappo_step", "HAS_OPTAX"]

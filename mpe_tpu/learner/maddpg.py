@@ -567,6 +567,188 @@ def build_fused_update_chunk(
     return update_chunk
 
 
+def build_fused_maddpg_dp(
+    env: MpeEnv,
+    mesh,
+    n_envs: int,
+    horizon: int | None = None,
+    updates_per_chunk: int | None = None,
+    cap_chunks: int = 10,
+    batch: int = 1024,
+    gamma: float = 0.95,
+    tau_polyak: float = 0.05,
+    eps_greedy: float = 0.1,
+    actor_lr: float = 1e-3,
+    critic_lr: float = 1e-3,
+    ent_coef: float = 0.01,
+    hidden: int = 64,
+    block_envs: int = 1024,
+    t_chunk: int | None = None,
+    interpret: bool = False,
+    axis_name: str = "env",
+):
+    """Data-parallel FULLY-fused MADDPG over a device mesh: per device,
+    the collection kernel fills a LOCAL replay shard (envs never
+    communicate; device d draws global block streams [d*B, (d+1)*B) so
+    collection is invariant to the sharding — ops/fused_maddpg), then
+    each update samples a local batch, computes the single-kernel
+    gradient (ops/fused_maddpg_update), and ``pmean``s it over the mesh
+    — the effective update batch is ``n_devices * batch`` and the adam/
+    polyak steps stay bit-identical across devices, so params/targets
+    remain replicated. This is the standard DP off-policy recipe: only
+    the GRADIENT crosses devices; replay stays device-local.
+
+    -> ``step(state, seed) -> (state, metrics)`` with
+    ``state = (params, targets, opt_states, local_buffer)`` where the
+    buffer pytree's ``data`` is sharded over ``axis_name`` (build the
+    initial one with ``step.init_buffer()``; params from
+    ``init_maddpg``). One call = one collected chunk (``n_envs *
+    horizon`` global transitions) + ``updates_per_chunk`` updates
+    (default ``horizon``, the 1-update-per-n_envs-transitions ratio of
+    build_maddpg's loop)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
+    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
+    from mpe_tpu.ops.fused_rollout import pick_block_envs
+    from mpe_tpu.ops.kernel_scenarios import kernel_scenario
+
+    assert env.action_mode is ActionMode.DISCRETE
+    horizon = horizon or env.max_steps
+    assert horizon, "env needs max_steps (the episode horizon)"
+    updates_per_chunk = updates_per_chunk or horizon
+    kscn = kernel_scenario(env.scenario)
+    from mpe_tpu.learner.fused_ppo import _agent_rewards
+
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0, (n_envs, n_dev)
+    local_envs = n_envs // n_dev
+    local_block = pick_block_envs(local_envs, block_envs)
+    local_blocks = local_envs // local_block
+    if t_chunk is None:
+        t_chunk = next(c for c in (8, 5, 4, 2, 1) if horizon % c == 0)
+    aw = maddpg_act_dim(env)
+    obs_dim = kscn.obs_w
+    a = env.n_agents
+    rows_per_chunk = horizon * local_envs
+    cap_local = cap_chunks * rows_per_chunk
+
+    tmpl = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a,
+                    hidden=hidden)["actor"])
+    traj = fused_maddpg_trajectory(
+        kscn, tmpl, n_envs=local_envs, n_steps=horizon, horizon=horizon,
+        eps_greedy=eps_greedy, block_envs=local_block, t_chunk=t_chunk,
+        interpret=interpret)
+    grads_fn = fused_maddpg_update(
+        a, obs_dim, aw, 2 * env.spec.dim_p + 1, hidden=hidden,
+        batch=batch, gamma=gamma, ent_coef=ent_coef,
+        block_b=min(1024, batch), interpret=interpret)
+    actor_opt = optax.adam(actor_lr)
+    critic_opt = optax.adam(critic_lr)
+
+    def local_iter(params, targets, opt_states, buffer: Buffer, seed,
+                   gates):
+        my = jax.lax.axis_index(axis_name)
+        obs, act, rew, obs2 = traj(seed, params["actor"],
+                                   my * jnp.int32(local_blocks))
+        rew_a = _agent_rewards(kscn, rew)
+
+        def rowize(x):
+            return jnp.moveaxis(x, -1, 1).reshape(rows_per_chunk, -1)
+
+        rows_all = jnp.concatenate(
+            [rowize(obs), rowize(act), rowize(rew_a), rowize(obs2)],
+            axis=1)
+        # chunk inserts stay ring-aligned -> contiguous fast path
+        buffer = buffer._replace(
+            data=jax.lax.dynamic_update_slice_in_dim(
+                buffer.data, rows_all, buffer.ptr, 0),
+            ptr=(buffer.ptr + rows_per_chunk) % cap_local,
+            size=jnp.minimum(buffer.size + rows_per_chunk, cap_local))
+
+        # pre-gather every update's LOCAL batch in one replay read;
+        # per-device keys diverge (fold axis_name index) so the pmean'd
+        # gradient averages n_dev * batch distinct samples
+        base = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed), my)
+        keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(
+            jnp.arange(updates_per_chunk, dtype=jnp.uint32))
+        idx = jax.vmap(lambda k: jax.random.randint(
+            k, (batch,), 0, jnp.maximum(buffer.size, 1)))(keys)
+        rows = buffer.data[idx.reshape(-1)].reshape(
+            updates_per_chunk, batch, buffer.data.shape[1])
+
+        def upd(c, xs):
+            p, t, o = c
+            rows_u, gate = xs
+            obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
+            grads, (closs, aloss, qmean) = grads_fn(
+                p, t, obs_b, act_b, rew_b, obs2_b)
+            grads = jax.lax.pmean(grads, axis_name)
+            cupd, copt = critic_opt.update(
+                grads["critic"], o["critic"], p["critic"])
+            new_critic = optax.apply_updates(p["critic"], cupd)
+            aupd, aopt = actor_opt.update(
+                grads["actor"], o["actor"], p["actor"])
+            new_actor = optax.apply_updates(p["actor"], aupd)
+            new_actor = jax.tree.map(
+                lambda n_, o_: jnp.where(gate, n_, o_),
+                new_actor, p["actor"])
+            aopt = jax.tree.map(
+                lambda n_, o_: (jnp.where(gate, n_, o_)
+                                if hasattr(n_, "shape") else n_),
+                aopt, o["actor"])
+            p = {"actor": new_actor, "critic": new_critic}
+            t = jax.tree.map(
+                lambda tt, pp: (1 - tau_polyak) * tt + tau_polyak * pp,
+                t, p)
+            return (p, t, {"actor": aopt, "critic": copt}), closs
+
+        (params, targets, opt_states), cl = jax.lax.scan(
+            upd, (params, targets, opt_states),
+            (rows, jnp.asarray(gates)))
+        metrics = {
+            "mean_reward": jax.lax.pmean(rew_a.mean(), axis_name),
+            "critic_loss": jax.lax.pmean(cl[-1], axis_name),
+        }
+        return params, targets, opt_states, buffer, metrics
+
+    buf_specs = Buffer(data=P(axis_name), ptr=P(), size=P(),
+                       n_agents=a, obs_dim=obs_dim, act_dim=aw)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), buf_specs, P(), P()),
+             out_specs=(P(), P(), P(), buf_specs, P()),
+             check_vma=False)
+    def step_impl(params, targets, opt_states, buffer, seed, gates):
+        return local_iter(params, targets, opt_states, buffer, seed,
+                          gates)
+
+    def step(state, seed, gates=None):
+        params, targets, opt_states, buffer = state
+        if gates is None:
+            gates = jnp.ones((updates_per_chunk,), bool)
+        params, targets, opt_states, buffer, metrics = step_impl(
+            params, targets, opt_states, buffer,
+            jnp.asarray(seed, jnp.int32), jnp.asarray(gates))
+        return (params, targets, opt_states, buffer), metrics
+
+    step.init_buffer = lambda: init_buffer(n_dev * cap_local, a, obs_dim,
+                                           aw)
+    step.init_opt = lambda params: {
+        "actor": actor_opt.init(params["actor"]),
+        "critic": critic_opt.init(params["critic"])}
+    step.updates_per_chunk = updates_per_chunk
+    step.transitions_per_chunk = n_envs * horizon
+    return step
+
+
 def build_fused_collect(
     env: MpeEnv,
     n_envs: int,
