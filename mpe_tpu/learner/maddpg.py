@@ -177,6 +177,32 @@ def init_buffer(capacity: int, n_agents: int, obs_dim: int, act_dim: int):
     )
 
 
+def _apply_maddpg_update(params, targets, opt_states, grads, gate, *,
+                         actor_opt, critic_opt, tau_polyak):
+    """Shared tail of every MADDPG update variant (XLA update_fn, fused
+    update, chunk, DP): adam on both nets, actor gating (critic warmup /
+    actor delay), polyak target averaging. The actor loss never sees the
+    post-update critic, so applying both updates here is equivalent to
+    the critic-first ordering."""
+    cupd, copt = critic_opt.update(
+        grads["critic"], opt_states["critic"], params["critic"])
+    new_critic = optax.apply_updates(params["critic"], cupd)
+    aupd, aopt = actor_opt.update(
+        grads["actor"], opt_states["actor"], params["actor"])
+    new_actor = optax.apply_updates(params["actor"], aupd)
+    gate = jnp.asarray(gate)
+    new_actor = jax.tree.map(
+        lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
+    aopt = jax.tree.map(
+        lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
+        aopt, opt_states["actor"])
+    params = {"actor": new_actor, "critic": new_critic}
+    targets = jax.tree.map(
+        lambda t, p: (1 - tau_polyak) * t + tau_polyak * p, targets,
+        params)
+    return params, targets, {"actor": aopt, "critic": copt}
+
+
 def build_maddpg(
     env: MpeEnv,
     n_envs: int = 32,
@@ -331,9 +357,6 @@ def build_maddpg(
 
         (closs, qmean), cgrads = jax.value_and_grad(
             critic_loss, has_aux=True)(params["critic"])
-        cupd, copt = critic_opt.update(
-            cgrads, opt_states["critic"], params["critic"])
-        new_critic = optax.apply_updates(params["critic"], cupd)
 
         # static candidate table: every joint (move[, comm]) one-hot an
         # agent can emit — [C, aw], C = mw (* cw on comm scenarios)
@@ -388,22 +411,11 @@ def build_maddpg(
             return total / a
 
         aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
-        aupd, aopt = actor_opt.update(
-            agrads, opt_states["actor"], params["actor"])
-        new_actor = optax.apply_updates(params["actor"], aupd)
-        # gate the actor update (critic warmup / actor delay)
-        gate = jnp.asarray(do_actor)
-        new_actor = jax.tree.map(
-            lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
-        aopt = jax.tree.map(
-            lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
-            aopt, opt_states["actor"])
-
-        params = {"actor": new_actor, "critic": new_critic}
-        targets = jax.tree.map(
-            lambda t, p: (1 - tau_polyak) * t + tau_polyak * p,
-            targets, params)
-        opt_states = {"actor": aopt, "critic": copt}
+        params, targets, opt_states = _apply_maddpg_update(
+            params, targets, opt_states,
+            {"actor": agrads, "critic": cgrads}, do_actor,
+            actor_opt=actor_opt, critic_opt=critic_opt,
+            tau_polyak=tau_polyak)
         metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
         return params, targets, opt_states, metrics
 
@@ -451,26 +463,10 @@ def build_fused_update(
         obs_b, act_b, rew_b, obs2_b = buffer._split(buffer.data[idx])
         grads, (closs, aloss, qmean) = grads_fn(
             params, targets, obs_b, act_b, rew_b, obs2_b)
-
-        cupd, copt = critic_opt.update(
-            grads["critic"], opt_states["critic"], params["critic"])
-        new_critic = optax.apply_updates(params["critic"], cupd)
-        aupd, aopt = actor_opt.update(
-            grads["actor"], opt_states["actor"], params["actor"])
-        new_actor = optax.apply_updates(params["actor"], aupd)
-
-        gate = jnp.asarray(do_actor)
-        new_actor = jax.tree.map(
-            lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
-        aopt = jax.tree.map(
-            lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
-            aopt, opt_states["actor"])
-
-        params = {"actor": new_actor, "critic": new_critic}
-        targets = jax.tree.map(
-            lambda t, p: (1 - tau_polyak) * t + tau_polyak * p,
-            targets, params)
-        opt_states = {"actor": aopt, "critic": copt}
+        params, targets, opt_states = _apply_maddpg_update(
+            params, targets, opt_states, grads, do_actor,
+            actor_opt=actor_opt, critic_opt=critic_opt,
+            tau_polyak=tau_polyak)
         metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
         return params, targets, opt_states, metrics
 
@@ -536,24 +532,9 @@ def build_fused_update_chunk(
             obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
             grads, (closs, aloss, qmean) = grads_fn(
                 p, t, obs_b, act_b, rew_b, obs2_b)
-            cupd, copt = critic_opt.update(
-                grads["critic"], o["critic"], p["critic"])
-            new_critic = optax.apply_updates(p["critic"], cupd)
-            aupd, aopt = actor_opt.update(
-                grads["actor"], o["actor"], p["actor"])
-            new_actor = optax.apply_updates(p["actor"], aupd)
-            new_actor = jax.tree.map(
-                lambda n_, o_: jnp.where(gate, n_, o_),
-                new_actor, p["actor"])
-            aopt = jax.tree.map(
-                lambda n_, o_: (jnp.where(gate, n_, o_)
-                                if hasattr(n_, "shape") else n_),
-                aopt, o["actor"])
-            p = {"actor": new_actor, "critic": new_critic}
-            t = jax.tree.map(
-                lambda tt, pp: (1 - tau_polyak) * tt + tau_polyak * pp,
-                t, p)
-            o = {"actor": aopt, "critic": copt}
+            p, t, o = _apply_maddpg_update(
+                p, t, o, grads, gate, actor_opt=actor_opt,
+                critic_opt=critic_opt, tau_polyak=tau_polyak)
             return (p, t, o), (closs, aloss, qmean)
 
         (params, targets, opt_states), (cl, al, q) = jax.lax.scan(
@@ -690,24 +671,10 @@ def build_fused_maddpg_dp(
             grads, (closs, aloss, qmean) = grads_fn(
                 p, t, obs_b, act_b, rew_b, obs2_b)
             grads = jax.lax.pmean(grads, axis_name)
-            cupd, copt = critic_opt.update(
-                grads["critic"], o["critic"], p["critic"])
-            new_critic = optax.apply_updates(p["critic"], cupd)
-            aupd, aopt = actor_opt.update(
-                grads["actor"], o["actor"], p["actor"])
-            new_actor = optax.apply_updates(p["actor"], aupd)
-            new_actor = jax.tree.map(
-                lambda n_, o_: jnp.where(gate, n_, o_),
-                new_actor, p["actor"])
-            aopt = jax.tree.map(
-                lambda n_, o_: (jnp.where(gate, n_, o_)
-                                if hasattr(n_, "shape") else n_),
-                aopt, o["actor"])
-            p = {"actor": new_actor, "critic": new_critic}
-            t = jax.tree.map(
-                lambda tt, pp: (1 - tau_polyak) * tt + tau_polyak * pp,
-                t, p)
-            return (p, t, {"actor": aopt, "critic": copt}), closs
+            p, t, o = _apply_maddpg_update(
+                p, t, o, grads, gate, actor_opt=actor_opt,
+                critic_opt=critic_opt, tau_polyak=tau_polyak)
+            return (p, t, o), closs
 
         (params, targets, opt_states), cl = jax.lax.scan(
             upd, (params, targets, opt_states),
