@@ -341,6 +341,11 @@ def fused_maddpg_update(
 
     @jax.jit
     def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
+        got = params["actor"]["l1"]["w"].shape
+        assert got == (a, obs_dim, h), (
+            f"actor l1 weight shape {got} != ({a}, {obs_dim}, {h}) — "
+            "pass the init_maddpg dims (incl. hidden=) this builder was "
+            "configured with")
         kl = lambda w: jnp.transpose(w, (0, 2, 1)).astype(acc_t)
         col = lambda b: b.reshape(-1, 1).astype(acc_t)  # [A, X] -> [A*X, 1]
 

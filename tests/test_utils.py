@@ -168,3 +168,74 @@ def test_ppo_train_state_resume(tmp_path):
     assert float(ma["loss"]) == float(mb["loss"])
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), state_a[0], state_b[0])
+
+
+def test_fused_maddpg_train_state_resume(tmp_path):
+    """The FULLY-fused loop's train state (params, targets, opts, the
+    fused 2-D replay ring) snapshots and resumes bit-identically: the
+    collect kernel is deterministic given its integer seed and the
+    chunk update given its key, so the continuation after restore must
+    reproduce the uninterrupted run exactly."""
+    import jax.numpy as jnp
+
+    from mpe_tpu.learner import (build_fused_collect,
+                                 build_fused_update_chunk, build_maddpg,
+                                 init_buffer, init_maddpg)
+    from mpe_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    scn = scenarios.load("simple_spread")
+    env = MpeEnv(scn, max_steps=4, auto_reset=True)
+    mw = 2 * env.spec.dim_p + 1
+    params = init_maddpg(jax.random.PRNGKey(0), scn.obs_width, mw,
+                         env.n_agents, hidden=16)
+    targets = jax.tree.map(lambda x: x, params)
+    _, _, _, init_opt = build_maddpg(env, n_envs=8, capacity=128, batch=16)
+    opt_states = init_opt(params)
+    buffer = init_buffer(128, env.n_agents, scn.obs_width, mw)
+    collect = build_fused_collect(env, n_envs=8, n_steps=4, block_envs=8,
+                                  t_chunk=2, interpret=True)
+    chunk = build_fused_update_chunk(env, 3, batch=16, hidden=16,
+                                     block_b=16, interpret=True)
+    key = jax.random.PRNGKey(5)
+    gates = jnp.ones((3,), bool)
+
+    def iterate(p, t, o, b, it):
+        b, _ = collect(p["actor"], b, it)
+        return (*chunk(p, t, o, b, jax.random.fold_in(key, it), gates),
+                b)
+
+    for it in range(3):
+        params, targets, opt_states, m, buffer = iterate(
+            params, targets, opt_states, buffer, it)
+    state = {"params": params, "targets": targets,
+             "opt_states": opt_states, "buffer": buffer}
+    path = str(tmp_path / "fused_state.npz")
+    save_train_state(path, state, step=3)
+
+    ms_a, p_a = [], params
+    t_a, o_a, b_a = targets, opt_states, buffer
+    for it in range(3, 6):
+        p_a, t_a, o_a, m, b_a = iterate(p_a, t_a, o_a, b_a, it)
+        ms_a.append({k: float(v) for k, v in m.items()})
+
+    params_t = init_maddpg(jax.random.PRNGKey(9), scn.obs_width, mw,
+                           env.n_agents, hidden=16)
+    template = {"params": params_t,
+                "targets": jax.tree.map(lambda x: x, params_t),
+                "opt_states": init_opt(params_t),
+                "buffer": init_buffer(128, env.n_agents, scn.obs_width,
+                                      mw)}
+    restored, step, _ = load_train_state(path, template)
+    assert step == 3
+    p_b, t_b = restored["params"], restored["targets"]
+    o_b, b_b = restored["opt_states"], restored["buffer"]
+    ms_b = []
+    for it in range(3, 6):
+        p_b, t_b, o_b, m, b_b = iterate(p_b, t_b, o_b, b_b, it)
+        ms_b.append({k: float(v) for k, v in m.items()})
+
+    assert ms_a == ms_b
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p_a, p_b)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), b_a, b_b)
