@@ -3,14 +3,14 @@ actions, TD targets, critic forward+backward, expected-Q actor gradient
 — in ONE Pallas kernel.
 
 The XLA update (learner/maddpg.py update_fn) is the MADDPG loop's
-bottleneck: ~118 us per batch-1024 update on a v5e chip
-(tools/maddpg_ablate.py), 62% of end-to-end loop time. The cost is NOT
-flops — it is ~60 SMALL per-agent matmuls ([64, 69] @ [69, 1024] etc.)
-each paying fixed op overhead with activations round-tripping HBM
-between them (a bf16 variant measured the same 140 us: pure overhead).
-This kernel therefore (a) keeps every activation in VMEM and (b)
-collapses the per-agent networks into STACKED operands so the whole
-update is ~24 matmuls regardless of agent count:
+bottleneck: ~40 us per batch-1024 update on a v5e chip with the 2-D
+replay ring (~118 us before it — tools/maddpg_ablate.py), a long chain
+of ~60 SMALL per-agent matmuls ([64, 69] @ [69, 1024] etc.) whose
+activations round-trip HBM between ops. This kernel (a) keeps every
+activation in VMEM and (b) collapses the per-agent networks into
+STACKED operands so the whole update is ~24 matmuls (23.4 us measured,
+near the ~52 TF/s in-kernel f32 matmul rate) regardless of agent
+count:
 
   - activations carry all agents on sublanes ([A*H, N]);
   - layer-1 critics share their input (the joint) so their weights
@@ -255,6 +255,7 @@ def fused_maddpg_update(
     interpret: bool = False,
     compute_dtype=f32,
     ablate: str = "",
+    cand_group: int | None = None,
 ):
     """Build ``grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b)
     -> (grads, metrics)`` for the stacked per-agent pytrees of
@@ -273,14 +274,24 @@ def fused_maddpg_update(
     k = act_dim
     joint_w = a * (obs_dim + act_dim)
     h = hidden
+    # VMEM pressure scales with the stacked-agent height a*h: the
+    # activation tiles are [a*h, block_b] and the candidate tiles
+    # [a*h, cand_group*block_b]. Shrink the env block for tall stacks
+    # (world_comm's a*h=384 OOMs the 16MB VMEM at block_b=1024), then
+    # give candidates the leftover lane budget.
+    h_ref = 192  # spread's a*h, the tuned reference point
+    while block_b > 128 and a * h * block_b > h_ref * 1024:
+        block_b //= 2
     block_b = pick_block_envs(batch, block_b)
     n_blocks = batch // block_b
     inv = 1.0 / float(a * batch)
     cwx = max(cw, 1)
     n_cand = mw * cwx
-    # lane-concat candidates in groups so the [A*H, group*block_b]
-    # candidate activations stay within a few MB of VMEM
-    cand_group = max(1, min(n_cand, 4096 // block_b))
+    if cand_group is None:
+        # lane-concat candidates in groups so the [A*H, group*block_b]
+        # candidate activations stay within a few MB of VMEM
+        cand_group = max(1, min(n_cand, 4096 // block_b,
+                                (h_ref * 4 * 1024) // (a * h * block_b)))
 
     kernel = functools.partial(
         _maddpg_update_kernel, a=a, mw=mw, cw=cw, gamma=float(gamma),

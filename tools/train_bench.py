@@ -132,15 +132,16 @@ MD_CAP_CHUNKS = 10   # ring capacity in chunks (the ring wraps while timing:
                      # iteration count) would otherwise eat ~50% of it.
 
 
-def bench_maddpg(fused: bool):
+def bench_maddpg(fused: bool, n_envs: int = MD_ENVS,
+                 chunks: int = MD_CHUNKS):
     """MADDPG off-policy loop: collection + updates at the per-step
     loop's 1-update-per-(n_envs transitions) ratio. xla collects ONE
     env step per iteration (learner/maddpg.collect_fn) and updates with
     the XLA op-chain update_fn; fused collects a horizon chunk per
     iteration via the per-agent Pallas kernel (ops/fused_maddpg) then
     runs `horizon` single-kernel updates on pre-gathered batches
-    (build_fused_update_chunk). Equal
-    transition counts: MD_CHUNKS*MD_HORIZON*MD_ENVS either way."""
+    (build_fused_update_chunk). Equal transition counts either way:
+    chunks * MD_HORIZON * n_envs."""
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
     from mpe_tpu.learner import (build_fused_collect,
@@ -150,17 +151,17 @@ def bench_maddpg(fused: bool):
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=MD_HORIZON,
                  auto_reset=True)
     mw = 2 * env.spec.dim_p + 1
-    capacity = MD_CAP_CHUNKS * MD_HORIZON * MD_ENVS
+    capacity = MD_CAP_CHUNKS * MD_HORIZON * n_envs
     params = init_maddpg(jax.random.PRNGKey(0), env.scenario.obs_width, mw,
                          env.n_agents)
     targets = jax.tree.map(lambda x: x, params)
     reset_fn, collect_fn, update_fn, init_opt = build_maddpg(
-        env, n_envs=MD_ENVS, capacity=capacity, batch=1024)
+        env, n_envs=n_envs, capacity=capacity, batch=1024)
     opt_states = init_opt(params)
     buffer = init_buffer(capacity, env.n_agents, env.scenario.obs_width, mw)
 
     if fused:
-        collect = build_fused_collect(env, n_envs=MD_ENVS,
+        collect = build_fused_collect(env, n_envs=n_envs,
                                       n_steps=MD_HORIZON, t_chunk=5)
         update_chunk = build_fused_update_chunk(env, MD_HORIZON,
                                                 batch=1024)
@@ -178,7 +179,7 @@ def bench_maddpg(fused: bool):
         @jax.jit
         def scanned(carry):
             return jax.lax.scan(iteration, carry,
-                                jnp.arange(MD_CHUNKS, dtype=jnp.int32))
+                                jnp.arange(chunks, dtype=jnp.int32))
 
         carry = (params, targets, opt_states, buffer)
         c2, mrs = scanned(carry)          # compile
@@ -204,7 +205,7 @@ def bench_maddpg(fused: bool):
         return jax.lax.scan(
             iteration, carry,
             jax.random.split(jax.random.PRNGKey(3),
-                             MD_CHUNKS * MD_HORIZON))
+                             chunks * MD_HORIZON))
 
     carry = (params, targets, opt_states, states, obs, buffer)
     c2, mrs = scanned(carry)              # compile
@@ -269,25 +270,36 @@ def main():
               file=sys.stderr, flush=True)
 
     md_transitions = MD_CHUNKS * MD_HORIZON * MD_ENVS
-    md = report.setdefault(
-        "maddpg", {"n_envs": MD_ENVS, "horizon": MD_HORIZON,
-                   "transitions": md_transitions, "loops": {}})
-    for name, fused in (("xla_maddpg", False), ("fused_maddpg", True)):
+    md = report["maddpg"] = {
+        "n_envs": MD_ENVS, "horizon": MD_HORIZON,
+        "transitions": md_transitions,
+        "loops": (report.get("maddpg") or {}).get("loops", {})}
+    # second config at 4x the envs: the fused advantage GROWS with env
+    # count (the XLA per-step collect is ~flat per transition while the
+    # fused collect and the amortized updates shrink)
+    rows = (("xla_maddpg", False, MD_ENVS, MD_CHUNKS),
+            ("fused_maddpg", True, MD_ENVS, MD_CHUNKS),
+            ("xla_maddpg_4k", False, 4 * MD_ENVS, MD_CHUNKS // 4),
+            ("fused_maddpg_4k", True, 4 * MD_ENVS, MD_CHUNKS // 4))
+    for name, fused, n_envs, chunks in rows:
         if only and name not in only:
             continue
-        r = bench_maddpg(fused)
-        r["scanned_steps_s"] = md_transitions / r["scanned_s"]
+        r = bench_maddpg(fused, n_envs=n_envs, chunks=chunks)
+        r["scanned_steps_s"] = (chunks * MD_HORIZON * n_envs
+                                / r["scanned_s"])
         md["loops"][name] = r
-        print(f"{name:12s}  scanned {r['scanned_steps_s']/1e6:8.2f}M "
-              f"steps/s  (collect + 1 update per {MD_ENVS} transitions)",
+        print(f"{name:15s}  scanned {r['scanned_steps_s']/1e6:8.2f}M "
+              f"steps/s  (collect + 1 update per {n_envs} transitions)",
               file=sys.stderr, flush=True)
-    if {"xla_maddpg", "fused_maddpg"} <= set(md["loops"]):
-        md["speedup_scanned"] = (
-            md["loops"]["fused_maddpg"]["scanned_steps_s"]
-            / md["loops"]["xla_maddpg"]["scanned_steps_s"])
-        print(f"maddpg fused/xla speedup: scanned "
-              f"{md['speedup_scanned']:.1f}x",
-              file=sys.stderr, flush=True)
+    for suffix in ("", "_4k"):
+        pair = {f"xla_maddpg{suffix}", f"fused_maddpg{suffix}"}
+        if pair <= set(md["loops"]):
+            md[f"speedup_scanned{suffix}"] = (
+                md["loops"][f"fused_maddpg{suffix}"]["scanned_steps_s"]
+                / md["loops"][f"xla_maddpg{suffix}"]["scanned_steps_s"])
+            print(f"maddpg{suffix} fused/xla speedup: scanned "
+                  f"{md[f'speedup_scanned{suffix}']:.1f}x",
+                  file=sys.stderr, flush=True)
 
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
