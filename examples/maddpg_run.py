@@ -94,8 +94,8 @@ def main():
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
     from mpe_tpu.learner import (build_fused_collect,
-                                 build_fused_update_chunk, build_maddpg,
-                                 init_buffer, init_maddpg)
+                                 build_fused_update_chunk, init_buffer,
+                                 init_maddpg)
     from mpe_tpu.learner.maddpg import maddpg_act_dim
 
     cpu = jax.default_backend() == "cpu"
@@ -105,15 +105,11 @@ def main():
     n_envs, horizon = args.n_envs, args.horizon
     capacity = n_envs * 1600
     n_chunks = max(1, args.updates // horizon)
+    n_updates = n_chunks * horizon   # actual count (horizon multiple)
 
     params = init_maddpg(jax.random.PRNGKey(args.seed), scn.obs_width, aw,
                          env.n_agents)
     targets = jax.tree.map(lambda x: x, params)
-    _, _, _, init_opt = build_maddpg(
-        env, n_envs=n_envs, capacity=capacity, batch=args.batch,
-        tau_polyak=args.tau, actor_lr=args.lr, critic_lr=args.lr,
-        ent_coef=args.ent_coef)
-    opt_states = init_opt(params)
     buffer = init_buffer(capacity, env.n_agents, scn.obs_width, aw)
     collect = build_fused_collect(
         env, n_envs=n_envs, n_steps=horizon,
@@ -122,13 +118,14 @@ def main():
         env, horizon, batch=args.batch, tau_polyak=args.tau,
         actor_lr=args.lr, critic_lr=args.lr, ent_coef=args.ent_coef,
         interpret=cpu)
+    opt_states = update_chunk.init_opt(params)
     base_key = jax.random.PRNGKey(args.seed + 7)
 
     def chunk_body(carry, i):
         params, targets, opt_states, buffer = carry
         buffer, mr = collect(params["actor"], buffer, 10_000 + i)
-        u = i * horizon + jnp.arange(horizon)
-        gates = (u >= args.actor_start) & (u % horizon % 2 == 0)
+        k = jnp.arange(horizon)          # within-chunk update index
+        gates = (i * horizon + k >= args.actor_start) & (k % 2 == 0)
         params, targets, opt_states, m = update_chunk(
             params, targets, opt_states, buffer,
             jax.random.fold_in(base_key, i), gates)
@@ -158,7 +155,7 @@ def main():
               flush=True)
     params, targets, opt_states, buffer = carry
 
-    result = {"scenario": args.scenario, "updates": args.updates,
+    result = {"scenario": args.scenario, "updates": n_updates,
               "n_envs": n_envs, "batch": args.batch, "tau": args.tau,
               "lr": args.lr, "seed": args.seed,
               "greedy": greedy_eval(scn, params)}
@@ -167,7 +164,7 @@ def main():
                                                   mute_comm=True)
     if args.save:
         from mpe_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.save, params, step=args.updates)
+        save_checkpoint(args.save, params, step=n_updates)
         result["checkpoint"] = args.save
     print(json.dumps(result))
 

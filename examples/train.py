@@ -150,8 +150,10 @@ def main():
             for it in range(args.iters):
                 buffer, mr = collect(params["actor"], buffer,
                                      10_000 + it)
-                u = it * horizon + jnp.arange(horizon)
-                gates = (u >= actor_start) & (u % 2 == 0)
+                k = jnp.arange(horizon)
+                # within-chunk parity, matching the per-step loop's swept
+                # cadence (and examples/maddpg_run.py)
+                gates = (it * horizon + k >= actor_start) & (k % 2 == 0)
                 params, targets, opt_states, m = update_chunk(
                     params, targets, opt_states, buffer,
                     jax.random.fold_in(key, 90_000 + it), gates)

@@ -470,6 +470,9 @@ def build_fused_update(
         metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
         return params, targets, opt_states, metrics
 
+    update_fn.init_opt = lambda params: {
+        "actor": actor_opt.init(params["actor"]),
+        "critic": critic_opt.init(params["critic"])}
     return update_fn
 
 
@@ -545,6 +548,9 @@ def build_fused_update_chunk(
         return params, targets, opt_states, metrics
 
     update_chunk.n_updates = n_updates
+    update_chunk.init_opt = lambda params: {
+        "actor": actor_opt.init(params["actor"]),
+        "critic": critic_opt.init(params["critic"])}
     return update_chunk
 
 

@@ -233,15 +233,18 @@ def main():
         "traj_policy": lambda r: check_traj(r, maddpg=False),
         "traj_maddpg": lambda r: check_traj(r, maddpg=True),
     }
-    report = {"device": str(jax.devices()[0])}
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tpu_train_parity_report.json")
+    report = {}
+    if only and os.path.exists(out):      # merge partial runs
+        with open(out) as fh:
+            report = json.load(fh)
+    report["device"] = str(jax.devices()[0])
     ok = True
     for key, fn in checks.items():
         if only and key not in only:
             continue
         ok = fn(report) and ok
-
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "tpu_train_parity_report.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(f"report -> {out}", flush=True)
