@@ -316,12 +316,6 @@ def build_maddpg(
         obs2_next = jnp.where(ep_done[:, None, None], fresh_obs, obs2)
         return env_states2, obs2_next, buffer, rew.mean()
 
-    def _joint(obs_b, act_b):
-        """[B, A, O], [B, A, K] -> [B, A*(O+K)]."""
-        return jnp.concatenate(
-            [obs_b.reshape(obs_b.shape[0], -1),
-             act_b.reshape(act_b.shape[0], -1)], axis=-1)
-
     @jax.jit
     def update_fn(params, targets, opt_states, buffer: Buffer, key,
                   do_actor=True):
@@ -332,94 +326,118 @@ def build_maddpg(
         # ONE 2-D row gather, then slice (the fast sampling path —
         # see the Buffer docstring)
         obs_b, act_b, rew_b, obs2_b = buffer._split(buffer.data[idx])
-
-        # target actions from target actors (deterministic per-head
-        # argmax one-hots)
-        tgt_logits = jax.vmap(
-            lambda o: jax.vmap(actor_logits_i)(targets["actor"], o))(obs2_b)
-        act2 = jax.nn.one_hot(jnp.argmax(tgt_logits[..., :mw], -1), mw,
-                              dtype=jnp.float32)
-        if cw:
-            act2 = jnp.concatenate(
-                [act2, jax.nn.one_hot(jnp.argmax(tgt_logits[..., mw:], -1),
-                                      cw, dtype=jnp.float32)], axis=-1)
-        joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
-        q_next = jax.vmap(
-            lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
-        # bootstrap through the time limit (episodes only truncate)
-        y = rew_b.T + gamma * q_next                           # [A, B]
-        y = jax.lax.stop_gradient(y)
-
-        def critic_loss(critic_params):
-            joint = _joint(obs_b, act_b)
-            q = jax.vmap(lambda cp: critic_q_i(cp, joint))(critic_params)
-            return jnp.mean(jnp.square(q - y)), jnp.mean(q)
-
-        (closs, qmean), cgrads = jax.value_and_grad(
-            critic_loss, has_aux=True)(params["critic"])
-
-        # static candidate table: every joint (move[, comm]) one-hot an
-        # agent can emit — [C, aw], C = mw (* cw on comm scenarios)
-        n_cand = mw * max(cw, 1)
-        cand_np = np.zeros((n_cand, aw), np.float32)
-        for k in range(mw):
-            for j in range(max(cw, 1)):
-                c_idx = k * max(cw, 1) + j
-                cand_np[c_idx, k] = 1.0
-                if cw:
-                    cand_np[c_idx, mw + j] = 1.0
-        cand = jnp.asarray(cand_np)
-
-        def actor_loss(actor_params):
-            # each agent maximizes the EXACT expectation of its critic
-            # over its own (small, discrete) action set under its softmax
-            # policy — the joint (move, comm) grid on comm scenarios —
-            # with the other agents' buffer actions fixed: a
-            # deterministic gradient (no Gumbel straight-through noise),
-            # plus a small entropy bonus against premature collapse.
-            # All C candidates are scored in ONE batched critic eval per
-            # agent ([C*B] rows) instead of C separate forward passes.
-            logits = jax.vmap(
-                lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
-            probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
-            probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
-            total = 0.0
-            for i in range(a):
-                cp = jax.tree.map(lambda x: x[i], params["critic"])
-                mixed = jnp.broadcast_to(
-                    act_b.astype(jnp.float32),
-                    (n_cand,) + act_b.shape)                # [C, B, A, aw]
-                mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
-                joint = jnp.concatenate(
-                    [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
-                                      (n_cand, batch, a * obs_b.shape[-1])),
-                     mixed.reshape(n_cand, batch, -1)], axis=-1)
-                q_all = critic_q_i(cp, joint)               # [C, B]
-                w = probs_m[:, i]                           # [B, mw]
-                if cw:
-                    w = (w[..., :, None] * probs_c[:, i][..., None, :]
-                         ).reshape(batch, n_cand)
-                exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T),
-                                axis=-1)
-                ent = -jnp.sum(probs_m[:, i]
-                               * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
-                if cw:
-                    ent = ent - jnp.sum(
-                        probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
-                        axis=-1)
-                total = total - (exp_q + ent_coef * ent).mean()
-            return total / a
-
-        aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+        grads, (closs, aloss, qmean) = maddpg_xla_grads(
+            params, targets, obs_b, act_b, rew_b, obs2_b, mw=mw, cw=cw,
+            gamma=gamma, ent_coef=ent_coef)
         params, targets, opt_states = _apply_maddpg_update(
-            params, targets, opt_states,
-            {"actor": agrads, "critic": cgrads}, do_actor,
+            params, targets, opt_states, grads, do_actor,
             actor_opt=actor_opt, critic_opt=critic_opt,
             tau_polyak=tau_polyak)
         metrics = {"critic_loss": closs, "actor_loss": aloss, "q": qmean}
         return params, targets, opt_states, metrics
 
     return reset_fn, collect_fn, update_fn, init_opt
+
+
+def _joint(obs_b, act_b):
+    """[B, A, O], [B, A, K] -> [B, A*(O+K)]."""
+    return jnp.concatenate(
+        [obs_b.reshape(obs_b.shape[0], -1),
+         act_b.reshape(act_b.shape[0], -1)], axis=-1)
+
+
+def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
+                     mw: int, cw: int, gamma: float, ent_coef: float):
+    """The XLA op-chain MADDPG gradient on a sampled batch: target
+    actions -> TD targets -> critic ``value_and_grad`` -> exact
+    expected-Q actor objective over the (move x comm) candidate grid.
+    Identical math to the single-kernel engine (ops/fused_maddpg_update
+    is pinned to ``jax.grad`` of exactly these losses); XLA compiles
+    this chain within ~20% of the hand-written kernel at batch-1024
+    spread shapes (tools/maddpg_ablate.py), so the chunk/DP trainers
+    accept either engine. Returns
+    ``(grads, (critic_loss, actor_loss, q_mean))``."""
+    batch, a, aw = act_b.shape
+
+    # target actions from target actors (deterministic per-head
+    # argmax one-hots)
+    tgt_logits = jax.vmap(
+        lambda o: jax.vmap(actor_logits_i)(targets["actor"], o))(obs2_b)
+    act2 = jax.nn.one_hot(jnp.argmax(tgt_logits[..., :mw], -1), mw,
+                          dtype=jnp.float32)
+    if cw:
+        act2 = jnp.concatenate(
+            [act2, jax.nn.one_hot(jnp.argmax(tgt_logits[..., mw:], -1),
+                                  cw, dtype=jnp.float32)], axis=-1)
+    joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
+    q_next = jax.vmap(
+        lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
+    # bootstrap through the time limit (episodes only truncate)
+    y = rew_b.T + gamma * q_next                           # [A, B]
+    y = jax.lax.stop_gradient(y)
+
+    def critic_loss(critic_params):
+        joint = _joint(obs_b, act_b)
+        q = jax.vmap(lambda cp: critic_q_i(cp, joint))(critic_params)
+        return jnp.mean(jnp.square(q - y)), jnp.mean(q)
+
+    (closs, qmean), cgrads = jax.value_and_grad(
+        critic_loss, has_aux=True)(params["critic"])
+
+    # static candidate table: every joint (move[, comm]) one-hot an
+    # agent can emit — [C, aw], C = mw (* cw on comm scenarios)
+    n_cand = mw * max(cw, 1)
+    cand_np = np.zeros((n_cand, aw), np.float32)
+    for k in range(mw):
+        for j in range(max(cw, 1)):
+            c_idx = k * max(cw, 1) + j
+            cand_np[c_idx, k] = 1.0
+            if cw:
+                cand_np[c_idx, mw + j] = 1.0
+    cand = jnp.asarray(cand_np)
+
+    def actor_loss(actor_params):
+        # each agent maximizes the EXACT expectation of its critic
+        # over its own (small, discrete) action set under its softmax
+        # policy — the joint (move, comm) grid on comm scenarios —
+        # with the other agents' buffer actions fixed: a
+        # deterministic gradient (no Gumbel straight-through noise),
+        # plus a small entropy bonus against premature collapse.
+        # All C candidates are scored in ONE batched critic eval per
+        # agent ([C*B] rows) instead of C separate forward passes.
+        logits = jax.vmap(
+            lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
+        probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
+        probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
+        total = 0.0
+        for i in range(a):
+            cp = jax.tree.map(lambda x: x[i], params["critic"])
+            mixed = jnp.broadcast_to(
+                act_b.astype(jnp.float32),
+                (n_cand,) + act_b.shape)                # [C, B, A, aw]
+            mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
+            joint = jnp.concatenate(
+                [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
+                                  (n_cand, batch, a * obs_b.shape[-1])),
+                 mixed.reshape(n_cand, batch, -1)], axis=-1)
+            q_all = critic_q_i(cp, joint)               # [C, B]
+            w = probs_m[:, i]                           # [B, mw]
+            if cw:
+                w = (w[..., :, None] * probs_c[:, i][..., None, :]
+                     ).reshape(batch, n_cand)
+            exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T),
+                            axis=-1)
+            ent = -jnp.sum(probs_m[:, i]
+                           * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
+            if cw:
+                ent = ent - jnp.sum(
+                    probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
+                    axis=-1)
+            total = total - (exp_q + ent_coef * ent).mean()
+        return total / a
+
+    aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+    return ({"actor": agrads, "critic": cgrads}, (closs, aloss, qmean))
 
 
 def build_fused_update(
@@ -476,6 +494,29 @@ def build_fused_update(
     return update_fn
 
 
+def _make_grads_fn(env, grad_engine: str, *, batch, gamma, ent_coef,
+                   hidden, block_b, interpret, compute_dtype):
+    """grads(params, targets, obs_b, act_b, rew_b, obs2_b) with the
+    chosen engine: "xla" = maddpg_xla_grads (op-chain jax.grad),
+    "kernel" = the single-Pallas-kernel analytic gradient."""
+    mw = 2 * env.spec.dim_p + 1
+    aw = maddpg_act_dim(env)
+    cw = aw - mw
+    if grad_engine == "xla":
+        def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
+            return maddpg_xla_grads(params, targets, obs_b, act_b,
+                                    rew_b, obs2_b, mw=mw, cw=cw,
+                                    gamma=gamma, ent_coef=ent_coef)
+        return grads_fn
+    assert grad_engine == "kernel", grad_engine
+    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
+
+    return fused_maddpg_update(
+        env.n_agents, env.scenario.obs_width, aw, mw, hidden=hidden,
+        batch=batch, gamma=gamma, ent_coef=ent_coef, block_b=block_b,
+        interpret=interpret, compute_dtype=compute_dtype)
+
+
 def build_fused_update_chunk(
     env: MpeEnv,
     n_updates: int,
@@ -489,6 +530,7 @@ def build_fused_update_chunk(
     block_b: int = 1024,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    grad_engine: str = "xla",
 ):
     """``n_updates`` sequential fused updates per call with the replay
     batches PRE-GATHERED in one read: ``update_chunk(params, targets,
@@ -506,18 +548,19 @@ def build_fused_update_chunk(
     update_fn in a loop would — pinned by tests/test_fused_maddpg_update.
 
     ``gates`` is a bool [n_updates] vector of per-update ``do_actor``
-    flags (the critic-warmup / actor-delay schedule)."""
-    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
-
+    flags (the critic-warmup / actor-delay schedule). ``grad_engine``
+    picks the gradient implementation: "xla" (maddpg_xla_grads — the
+    measured default at batch-1024 shapes) or "kernel"
+    (ops/fused_maddpg_update); the two are pinned equal at 1e-9 f64."""
     mw = 2 * env.spec.dim_p + 1
     aw = maddpg_act_dim(env)
     obs_dim = env.scenario.obs_width
     actor_opt = optax.adam(actor_lr)
     critic_opt = optax.adam(critic_lr)
-    grads_fn = fused_maddpg_update(
-        env.n_agents, obs_dim, aw, mw, hidden=hidden, batch=batch,
-        gamma=gamma, ent_coef=ent_coef, block_b=block_b,
-        interpret=interpret, compute_dtype=compute_dtype)
+    grads_fn = _make_grads_fn(env, grad_engine, batch=batch, gamma=gamma,
+                              ent_coef=ent_coef, hidden=hidden,
+                              block_b=block_b, interpret=interpret,
+                              compute_dtype=compute_dtype)
 
     @jax.jit
     def update_chunk(params, targets, opt_states, buffer: Buffer, key,
@@ -573,6 +616,7 @@ def build_fused_maddpg_dp(
     t_chunk: int | None = None,
     interpret: bool = False,
     axis_name: str = "env",
+    grad_engine: str = "xla",
 ):
     """Data-parallel FULLY-fused MADDPG over a device mesh: per device,
     the collection kernel fills a LOCAL replay shard (envs never
@@ -599,7 +643,6 @@ def build_fused_maddpg_dp(
     from jax.sharding import PartitionSpec as P
 
     from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
-    from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
     from mpe_tpu.ops.fused_rollout import pick_block_envs
     from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 
@@ -631,10 +674,11 @@ def build_fused_maddpg_dp(
         kscn, tmpl, n_envs=local_envs, n_steps=horizon, horizon=horizon,
         eps_greedy=eps_greedy, block_envs=local_block, t_chunk=t_chunk,
         interpret=interpret)
-    grads_fn = fused_maddpg_update(
-        a, obs_dim, aw, 2 * env.spec.dim_p + 1, hidden=hidden,
-        batch=batch, gamma=gamma, ent_coef=ent_coef,
-        block_b=min(1024, batch), interpret=interpret)
+    grads_fn = _make_grads_fn(env, grad_engine, batch=batch, gamma=gamma,
+                              ent_coef=ent_coef, hidden=hidden,
+                              block_b=min(1024, batch),
+                              interpret=interpret,
+                              compute_dtype=jnp.float32)
     actor_opt = optax.adam(actor_lr)
     critic_opt = optax.adam(critic_lr)
 

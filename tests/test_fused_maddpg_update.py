@@ -237,7 +237,8 @@ def test_update_chunk_matches_per_update_loop():
                                     block_b=64, interpret=True)
     chunk = build_fused_update_chunk(env, n_updates, batch=batch,
                                      tau_polyak=0.03, block_b=64,
-                                     interpret=True)
+                                     interpret=True,
+                                     grad_engine="kernel")
     opt_states = init_opt(params)
     f32 = jnp.float32
     obs_b, act_b, rew_b, obs2_b = _random_batch(
@@ -268,3 +269,45 @@ def test_update_chunk_matches_per_update_loop():
     for k in ("critic_loss", "actor_loss", "q"):
         np.testing.assert_allclose(np.asarray(mc[k]), np.asarray(ml[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_update_chunk_xla_engine_matches_update_fn_loop():
+    """The chunk trainer's "xla" grad engine runs the SAME
+    maddpg_xla_grads code as build_maddpg's update_fn, so a chunk must
+    reproduce the update_fn loop under the matching key schedule."""
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=25,
+                 auto_reset=True)
+    obs_dim = env.scenario.obs_width
+    aw = maddpg_act_dim(env)
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    batch, capacity, n_updates = 64, 512, 5
+
+    params = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a)
+    targets = jax.tree.map(lambda x: x, params)
+    _, _, update_xla, init_opt = build_maddpg(
+        env, n_envs=8, capacity=capacity, batch=batch, tau_polyak=0.03)
+    chunk = build_fused_update_chunk(env, n_updates, batch=batch,
+                                     tau_polyak=0.03, grad_engine="xla")
+    opt_states = init_opt(params)
+    obs_b, act_b, rew_b, obs2_b = _random_batch(
+        jax.random.PRNGKey(3), capacity, a, obs_dim, mw, aw - mw,
+        jnp.float32)
+    buffer = Buffer.pack(obs_b, act_b, rew_b, obs2_b,
+                         ptr=jnp.int32(0), size=jnp.int32(capacity))
+
+    key = jax.random.PRNGKey(31)
+    gates = [True, False, True, True, False]
+    pl_, tl, ol = params, targets, opt_states
+    for u in range(n_updates):
+        pl_, tl, ol, ml = update_xla(pl_, tl, ol, buffer,
+                                     jax.random.fold_in(key, u), gates[u])
+    pc, tc, oc, mc = chunk(params, targets, opt_states, buffer, key,
+                           jnp.asarray(gates))
+    for name, got, want in (("params", pc, pl_), ("targets", tc, tl)):
+        fw = jax.tree.flatten_with_path(want)[0]
+        fg = dict(jax.tree.flatten_with_path(got)[0])
+        for path, w in fw:
+            np.testing.assert_allclose(
+                np.asarray(fg[path]), np.asarray(w), atol=1e-7,
+                rtol=1e-5, err_msg=f"{name}{path}")

@@ -88,15 +88,30 @@ def main():
     opt_states = init_opt(params)
     buffer = init_buffer(capacity, env.n_agents, obs_dim, aw)
 
+    # the tunnel's fixed per-dispatch floor (~30 ms regardless of the
+    # scanned iteration count — CLAUDE.md) would otherwise be charged to
+    # short phases; measure it with a trivial scanned program and
+    # subtract it from every phase
+    @jax.jit
+    def _noop(x):
+        return jax.lax.scan(lambda c, i: (c + 1e-30, None), x,
+                            jnp.arange(CHUNKS, dtype=jnp.int32))[0]
+
+    floor = _time(_noop, jnp.float32(0))
+    print(f"dispatch floor: {floor*1e3:.1f} ms (subtracted per phase)",
+          file=sys.stderr, flush=True)
+
     report = {"n_envs": N_ENVS, "horizon": HORIZON, "chunks": CHUNKS,
-              "transitions": transitions, "phases": {}}
+              "transitions": transitions, "dispatch_floor_s": floor,
+              "phases": {}}
 
     def record(name, seconds, n=transitions):
+        corr = max(seconds - floor, 1e-9)
         report["phases"][name] = {
-            "s": seconds, "steps_s": n / seconds,
-            "ns_per_transition": 1e9 * seconds / n}
-        print(f"{name:16s} {n/seconds/1e6:8.2f} M steps/s   "
-              f"{1e9*seconds/n:8.1f} ns/transition",
+            "s": seconds, "s_minus_floor": corr, "steps_s": n / corr,
+            "ns_per_transition": 1e9 * corr / n}
+        print(f"{name:16s} {n/corr/1e6:8.2f} M steps/s   "
+              f"{1e9*corr/n:8.1f} ns/transition  (raw {seconds*1e3:.0f} ms)",
               file=sys.stderr, flush=True)
 
     def want(name):
