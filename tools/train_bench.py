@@ -139,9 +139,9 @@ def bench_maddpg(fused: bool, n_envs: int = MD_ENVS,
     env step per iteration (learner/maddpg.collect_fn) and updates with
     the XLA op-chain update_fn; fused collects a horizon chunk per
     iteration via the per-agent Pallas kernel (ops/fused_maddpg) then
-    runs `horizon` single-kernel updates on pre-gathered batches
-    (build_fused_update_chunk). Equal transition counts either way:
-    chunks * MD_HORIZON * n_envs."""
+    runs `horizon` updates on pre-gathered batches
+    (build_fused_update_chunk, default grad engine). Equal transition
+    counts either way: chunks * MD_HORIZON * n_envs."""
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
     from mpe_tpu.learner import (build_fused_collect,
