@@ -6,13 +6,14 @@ per-step collector, tau 0.01 / batch 1024 / lr 1e-3, 24k updates) was
 trained one host dispatch per env step. This runner keeps the exact
 update:transition ratio (1 update per n_envs transitions, actor gated
 to every 2nd update after a 1000-update critic warmup) but runs the
-whole loop on-chip: fused chunk collection (ops/fused_maddpg) + the
-single-kernel update (ops/fused_maddpg_update), ``lax.scan``-ed in
-blocks so 24k updates take seconds instead of hours through the tunnel.
+whole loop on-chip via mpe_tpu.learner.fused_loop, so 24k updates take
+seconds instead of hours through the tunnel.
 
 Prints progress per block and a final JSON line with the greedy
-evaluation — and, on comm scenarios, a muted-speaker ablation (comm
-head forced to zeros at eval) showing how much of the reward rides the
+evaluation: aggregate + per-agent rewards (the per-role breakdown is
+the meaningful read-out on competitive scenarios), a uniform-random
+baseline, and — on comm scenarios — a muted-speaker ablation (comm head
+forced to zeros at eval) showing how much of the reward rides the
 learned communication channel.
 
     python examples/maddpg_run.py --scenario simple_spread --updates 24000
@@ -28,43 +29,23 @@ sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def greedy_eval(scn, params, n_envs=128, n_steps=25, seed=123,
-                mute_comm=False):
+                mute_comm=False, per_agent=False):
     """Reward per agent-step of the argmax policy (no exploration),
-    rolled out env-minor on device. ``mute_comm`` zeroes the comm head
-    — the communication ablation for speaker/listener-style scenarios."""
-    import jax
-    import jax.numpy as jnp
+    rolled out on device. ``mute_comm`` zeroes the comm head — the
+    communication ablation for speaker/listener-style scenarios.
+    ``per_agent`` additionally returns the per-agent breakdown (the
+    meaningful read-out on competitive scenarios, where good-agent and
+    adversary rewards cancel in the aggregate). ``params=None`` rolls
+    out uniform-random actions — the untrained baseline."""
+    from mpe_tpu.learner.eval import greedy_state_rollout
 
-    from mpe_tpu.envs import MpeEnv
-    from mpe_tpu.learner.maddpg import actor_logits_i
-    from mpe_tpu.parallel import build_rollout
-
-    env = MpeEnv(scn)
-    a = env.n_agents
-    mw = 2 * env.spec.dim_p + 1
-
-    def pol(obs, key):
-        logits = jax.vmap(
-            lambda o: jax.vmap(actor_logits_i)(params["actor"], o),
-            in_axes=-1, out_axes=-1)(obs)
-        move = jax.nn.one_hot(jnp.argmax(logits[:, :mw], axis=1), mw,
-                              dtype=env.dtype, axis=1)
-        parts = [move]
-        cw = logits.shape[1] - mw
-        pad_c = env.action_width - mw
-        if cw:
-            comm = jax.nn.one_hot(jnp.argmax(logits[:, mw:], axis=1), cw,
-                                  dtype=env.dtype, axis=1)
-            if mute_comm:
-                comm = jnp.zeros_like(comm)
-            parts.append(comm)
-        elif pad_c:
-            parts.append(jnp.zeros((a, pad_c, obs.shape[-1]), env.dtype))
-        return jnp.concatenate(parts, axis=1)
-
-    r = build_rollout(env, n_envs, n_steps, policy=pol, env_axis=-1)
-    _, tot = r(jax.random.PRNGKey(seed))
-    return float(tot) / (n_envs * n_steps * a)
+    _, rew = greedy_state_rollout(scn, params, n_envs=n_envs,
+                                  n_steps=n_steps, seed=seed,
+                                  mute_comm=mute_comm)
+    per = rew.sum(axis=(0, 1)) / (n_envs * n_steps)       # [A]
+    if not per_agent:
+        return float(per.mean())
+    return float(per.mean()), [round(float(x), 4) for x in per]
 
 
 def main():
@@ -88,83 +69,39 @@ def main():
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    import jax
-    import jax.numpy as jnp
 
     from mpe_tpu import scenarios
     from mpe_tpu.envs import MpeEnv
-    from mpe_tpu.learner import (build_fused_collect,
-                                 build_fused_update_chunk, init_buffer,
-                                 init_maddpg)
+    from mpe_tpu.learner.fused_loop import run_fused_maddpg
     from mpe_tpu.learner.maddpg import maddpg_act_dim
 
-    cpu = jax.default_backend() == "cpu"
-    scn = scenarios.load(args.scenario)
-    env = MpeEnv(scn, max_steps=args.horizon, auto_reset=True)
-    aw = maddpg_act_dim(env)
-    n_envs, horizon = args.n_envs, args.horizon
-    capacity = n_envs * 1600
-    n_chunks = max(1, args.updates // horizon)
-    n_updates = n_chunks * horizon   # actual count (horizon multiple)
-
-    params = init_maddpg(jax.random.PRNGKey(args.seed), scn.obs_width, aw,
-                         env.n_agents)
-    targets = jax.tree.map(lambda x: x, params)
-    buffer = init_buffer(capacity, env.n_agents, scn.obs_width, aw)
-    collect = build_fused_collect(
-        env, n_envs=n_envs, n_steps=horizon,
-        block_envs=min(1024, n_envs), eps_greedy=args.eps, interpret=cpu)
-    update_chunk = build_fused_update_chunk(
-        env, horizon, batch=args.batch, tau_polyak=args.tau,
-        actor_lr=args.lr, critic_lr=args.lr, ent_coef=args.ent_coef,
-        interpret=cpu)
-    opt_states = update_chunk.init_opt(params)
-    base_key = jax.random.PRNGKey(args.seed + 7)
-
-    def chunk_body(carry, i):
-        params, targets, opt_states, buffer = carry
-        buffer, mr = collect(params["actor"], buffer, 10_000 + i)
-        k = jnp.arange(horizon)          # within-chunk update index
-        gates = (i * horizon + k >= args.actor_start) & (k % 2 == 0)
-        params, targets, opt_states, m = update_chunk(
-            params, targets, opt_states, buffer,
-            jax.random.fold_in(base_key, i), gates)
-        return (params, targets, opt_states, buffer), (mr,
-                                                       m["critic_loss"])
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=2)
-    def run_block(carry, chunk0, n):
-        return jax.lax.scan(chunk_body, carry,
-                            chunk0 + jnp.arange(n, dtype=jnp.int32))
-
-    # buffer warmup (no updates): fill ~200 env-steps of replay
-    for i in range(max(1, 200 // horizon)):
-        buffer, _ = collect(params["actor"], buffer, i)
-
-    carry = (params, targets, opt_states, buffer)
-    done_chunks = 0
-    while done_chunks < n_chunks:
-        n = min(args.block, n_chunks - done_chunks)
-        carry, (mr, cl) = run_block(carry, jnp.int32(done_chunks), n)
-        done_chunks += n
-        print(f"chunk {done_chunks:5d}/{n_chunks}  updates "
-              f"{done_chunks * horizon:6d}  reward/step "
-              f"{float(mr[-1]):+.3f}  critic_loss {float(cl[-1]):.3f}",
+    def progress(done, total, mr, cl):
+        print(f"chunk {done:5d}/{total}  updates {done * args.horizon:6d}"
+              f"  reward/step {mr:+.3f}  critic_loss {cl:.3f}",
               flush=True)
-    params, targets, opt_states, buffer = carry
 
-    result = {"scenario": args.scenario, "updates": n_updates,
-              "n_envs": n_envs, "batch": args.batch, "tau": args.tau,
-              "lr": args.lr, "seed": args.seed,
-              "greedy": greedy_eval(scn, params)}
+    params, result = run_fused_maddpg(
+        args.scenario, updates=args.updates, n_envs=args.n_envs,
+        horizon=args.horizon, batch=args.batch, tau=args.tau, lr=args.lr,
+        ent_coef=args.ent_coef, eps=args.eps,
+        actor_start=args.actor_start, block=args.block, seed=args.seed,
+        progress=progress)
+
+    scn = scenarios.load(args.scenario)
+    env = MpeEnv(scn)
+    aw = maddpg_act_dim(env)
+    greedy, greedy_pa = greedy_eval(scn, params, per_agent=True)
+    _, random_pa = greedy_eval(scn, None, per_agent=True)
+    result.update(greedy=greedy, greedy_per_agent=greedy_pa,
+                  random_per_agent=random_pa)
     if aw > 2 * env.spec.dim_p + 1:
-        result["greedy_muted_comm"] = greedy_eval(scn, params,
-                                                  mute_comm=True)
+        muted, muted_pa = greedy_eval(scn, params, mute_comm=True,
+                                      per_agent=True)
+        result["greedy_muted_comm"] = muted
+        result["greedy_muted_per_agent"] = muted_pa
     if args.save:
         from mpe_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.save, params, step=n_updates)
+        save_checkpoint(args.save, params, step=result["updates"])
         result["checkpoint"] = args.save
     print(json.dumps(result))
 

@@ -1,0 +1,93 @@
+"""The fully-fused on-device MADDPG training loop, as a library call.
+
+``examples/maddpg_run.py`` wraps this for the CLI; study tools
+(tools/crypto_study.py, tools/worldcomm_leader_study.py) call it
+directly for multi-seed sweeps. One ``run_fused_maddpg`` call keeps the
+r2-reference update:transition ratio (1 update per n_envs transitions,
+actor gated to every 2nd update after a critic warmup) and runs
+collection + updates entirely on-chip: fused chunk collection
+(ops/fused_maddpg) + the chunked update (learner.maddpg
+build_fused_update_chunk), ``lax.scan``-ed in blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+
+def run_fused_maddpg(scenario: str, updates: int = 24_000,
+                     n_envs: int = 64, horizon: int = 25,
+                     batch: int = 1024, tau: float = 0.01,
+                     lr: float = 1e-3, ent_coef: float = 0.01,
+                     eps: float = 0.1, actor_start: int = 1000,
+                     block: int = 40, seed: int = 0, progress=None):
+    """Train MADDPG on ``scenario`` with the fully-fused loop.
+
+    Returns ``(params, info)`` where ``info`` has the actual update
+    count and the recipe. ``progress(done_chunks, n_chunks, mean_reward,
+    critic_loss)`` is called once per scanned block.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs import MpeEnv
+    from mpe_tpu.learner import (build_fused_collect,
+                                 build_fused_update_chunk, init_buffer,
+                                 init_maddpg)
+    from mpe_tpu.learner.maddpg import maddpg_act_dim
+
+    cpu = jax.default_backend() == "cpu"
+    scn = scenarios.load(scenario)
+    env = MpeEnv(scn, max_steps=horizon, auto_reset=True)
+    aw = maddpg_act_dim(env)
+    capacity = n_envs * 1600
+    n_chunks = max(1, updates // horizon)
+    n_updates = n_chunks * horizon   # actual count (horizon multiple)
+
+    params = init_maddpg(jax.random.PRNGKey(seed), scn.obs_width, aw,
+                         env.n_agents)
+    targets = jax.tree.map(lambda x: x, params)
+    buffer = init_buffer(capacity, env.n_agents, scn.obs_width, aw)
+    collect = build_fused_collect(
+        env, n_envs=n_envs, n_steps=horizon,
+        block_envs=min(1024, n_envs), eps_greedy=eps, interpret=cpu)
+    update_chunk = build_fused_update_chunk(
+        env, horizon, batch=batch, tau_polyak=tau,
+        actor_lr=lr, critic_lr=lr, ent_coef=ent_coef, interpret=cpu)
+    opt_states = update_chunk.init_opt(params)
+    base_key = jax.random.PRNGKey(seed + 7)
+
+    def chunk_body(carry, i):
+        params, targets, opt_states, buffer = carry
+        buffer, mr = collect(params["actor"], buffer, 10_000 + i)
+        k = jnp.arange(horizon)          # within-chunk update index
+        gates = (i * horizon + k >= actor_start) & (k % 2 == 0)
+        params, targets, opt_states, m = update_chunk(
+            params, targets, opt_states, buffer,
+            jax.random.fold_in(base_key, i), gates)
+        return (params, targets, opt_states, buffer), (mr,
+                                                       m["critic_loss"])
+
+    @partial(jax.jit, static_argnums=2)
+    def run_block(carry, chunk0, n):
+        return jax.lax.scan(chunk_body, carry,
+                            chunk0 + jnp.arange(n, dtype=jnp.int32))
+
+    # buffer warmup (no updates): fill ~200 env-steps of replay
+    for i in range(max(1, 200 // horizon)):
+        buffer, _ = collect(params["actor"], buffer, i)
+
+    carry = (params, targets, opt_states, buffer)
+    done_chunks = 0
+    while done_chunks < n_chunks:
+        n = min(block, n_chunks - done_chunks)
+        carry, (mr, cl) = run_block(carry, jnp.int32(done_chunks), n)
+        done_chunks += n
+        if progress is not None:
+            progress(done_chunks, n_chunks, float(mr[-1]), float(cl[-1]))
+    params, targets, opt_states, buffer = carry
+
+    info = {"scenario": scenario, "updates": n_updates, "n_envs": n_envs,
+            "batch": batch, "tau": tau, "lr": lr, "seed": seed}
+    return params, info

@@ -123,9 +123,15 @@ class Buffer:
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
+    def _check_meta(self):
+        assert self.n_agents > 0 and self.obs_dim > 0 and self.act_dim > 0, (
+            "Buffer built without its static meta (n_agents/obs_dim/"
+            "act_dim) — construct via init_buffer() or Buffer.pack()")
+
     def _split(self, rows):
         """[R, W] gathered rows -> (obs [R, A, O], act [R, A, K],
         rew [R, A], obs2 [R, A, O])."""
+        self._check_meta()
         r = rows.shape[0]
         a, o, k = self.n_agents, self.obs_dim, self.act_dim
         ao, ak = a * o, a * k
@@ -134,21 +140,33 @@ class Buffer:
                 rows[:, ao + ak : ao + ak + a],
                 rows[:, ao + ak + a :].reshape(r, a, o))
 
+    # inspection-only per-field views; each slices just its own columns
+    # so eager use on a large ring doesn't materialize the other three
     @property
     def obs(self):
-        return self._split(self.data)[0]
+        self._check_meta()
+        cap, (a, o) = self.data.shape[0], (self.n_agents, self.obs_dim)
+        return self.data[:, : a * o].reshape(cap, a, o)
 
     @property
     def act(self):
-        return self._split(self.data)[1]
+        self._check_meta()
+        cap, (a, o, k) = self.data.shape[0], (
+            self.n_agents, self.obs_dim, self.act_dim)
+        return self.data[:, a * o : a * (o + k)].reshape(cap, a, k)
 
     @property
     def rew(self):
-        return self._split(self.data)[2]
+        self._check_meta()
+        a, o, k = self.n_agents, self.obs_dim, self.act_dim
+        return self.data[:, a * (o + k) : a * (o + k + 1)]
 
     @property
     def obs2(self):
-        return self._split(self.data)[3]
+        self._check_meta()
+        cap, (a, o, k) = self.data.shape[0], (
+            self.n_agents, self.obs_dim, self.act_dim)
+        return self.data[:, a * (o + k + 1) :].reshape(cap, a, o)
 
     @classmethod
     def pack(cls, obs, act, rew, obs2, ptr, size):
@@ -636,7 +654,12 @@ def build_fused_maddpg_dp(
     ``init_maddpg``). One call = one collected chunk (``n_envs *
     horizon`` global transitions) + ``updates_per_chunk`` updates
     (default ``horizon``, the 1-update-per-n_envs-transitions ratio of
-    build_maddpg's loop)."""
+    build_maddpg's loop).
+
+    ``seed`` must be UNIQUE per ``step`` call (e.g. the loop index, as
+    the tests use): both the collection stream and the replay-sample
+    keys derive from it, so repeating a seed silently replays identical
+    exploration and identical batch indices."""
     from functools import partial
 
     from jax import shard_map

@@ -9,8 +9,8 @@ headlines rest on:
       (hand-derived analytic gradients). Two comparisons, both ON THE
       CHIP: (a) ASSERTED — the Mosaic-compiled kernel vs the SAME
       builder with ``interpret=True`` (identical op order, so the diff
-      isolates the Mosaic lowering; measured <=2e-6); (b) RECORDED —
-      vs ``jax.grad`` of the identical XLA loss on the identical batch
+      isolates the Mosaic lowering; measured <=2e-6); (b) ASSERTED at
+      the loose JAXGRAD_BUDGET (2e-3 · grad scale) vs ``jax.grad`` of the identical XLA loss on the identical batch
       (the CPU tests already pin that math at 1e-9 f64; on hardware the
       clipped-surrogate/argmax INDICATORS flip on sub-ulp boundary ties
       between op orders, each flip moving a weight-grad element by
@@ -49,6 +49,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# the hard-shape matrix: spread (baseline), speaker_listener (comm,
+# heterogeneous obs), reference (dim_c=10 factored comm head), tag
+# (heterogeneous widths, 4 agents), world_comm (a*h=384 — the VMEM-guard
+# tall-stack path in ops/fused_maddpg_update)
+SCENARIOS = ("simple_spread", "simple_speaker_listener",
+             "simple_reference", "simple_tag", "simple_world_comm")
+
+# vs-jax.grad budget: the CPU tests pin interpret==jax.grad at 1e-9 in
+# f64; on-chip f32 indicator flips move elements by O(|x*g|/B) ~ 1e-4
+# (docstring above), so 2e-3*scale is loose for real drift but tight
+# enough to catch a broken lowering
+JAXGRAD_BUDGET = 2e-3
+
+
 def _load(relpath, name):
     spec = importlib.util.spec_from_file_location(
         name, os.path.join(ROOT, relpath))
@@ -78,7 +92,7 @@ def check_upd_ppo(report, mappo: bool):
     tm = _load("tests/test_fused_update.py", "tfu")
     name = "upd_mappo" if mappo else "upd_ppo"
     entry = {}
-    for scen in ("simple_spread", "simple_speaker_listener"):
+    for scen in SCENARIOS:
         kscn = kernel_scenario(scen)
         mw = 2 * kscn.spec.dim_p + 1
         dim_c = kscn.spec.dim_c if kscn.uses_comm else 0
@@ -115,7 +129,8 @@ def check_upd_ppo(report, mappo: bool):
             lambda p, b: loss(kscn, p, b), has_aux=True)(params, batch)
         ma, mr_, scale = _grad_diffs(got, twin)       # Mosaic lowering
         xa, xr, _ = _grad_diffs(got, want)            # vs jax.grad
-        ok = ma <= 1e-5 * max(scale, 1.0)
+        ok = (ma <= 1e-5 * max(scale, 1.0)
+              and xa <= JAXGRAD_BUDGET * max(scale, 1.0))
         entry[scen] = {"ok": ok, "mosaic_vs_interpret_abs": ma,
                        "vs_jaxgrad_abs": xa, "vs_jaxgrad_rel": xr,
                        "scale": scale}
@@ -131,10 +146,12 @@ def check_upd_maddpg(report):
 
     tm = _load("tests/test_fused_maddpg_update.py", "tfmu")
     entry = {}
-    for scen in ("simple_spread", "simple_speaker_listener"):
+    for scen in SCENARIOS:
         obs_dim, a, mw, cw = tm._dims(scen)
         aw = mw + cw
-        batch = 512
+        # batch 1024 on world_comm (a*h = 384) exercises the r3
+        # VMEM-guard tall-stack path (ops/fused_maddpg_update.py)
+        batch = 1024 if scen == "simple_world_comm" else 512
         params = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a)
         leaves, treedef = jax.tree.flatten(params)
         tkeys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
@@ -151,7 +168,8 @@ def check_upd_maddpg(report):
         twin, _ = mk(interpret=True)(params, targets, *data)
         ma, _, scale = _grad_diffs(got, twin)         # Mosaic lowering
         xa, xr, _ = _grad_diffs(got, want)            # vs jax.grad
-        ok = ma <= 1e-5 * max(scale, 1.0)
+        ok = (ma <= 1e-5 * max(scale, 1.0)
+              and xa <= JAXGRAD_BUDGET * max(scale, 1.0))
         entry[scen] = {"ok": ok, "mosaic_vs_interpret_abs": ma,
                        "vs_jaxgrad_abs": xa, "vs_jaxgrad_rel": xr,
                        "scale": scale}
@@ -183,7 +201,7 @@ def check_traj(report, maddpg: bool):
 
     name = "traj_maddpg" if maddpg else "traj_policy"
     entry = {}
-    for scen in ("simple_spread", "simple_speaker_listener"):
+    for scen in SCENARIOS:
         kscn = kernel_scenario(scen)
         env = MpeEnv(scenarios.load(scen), max_steps=25, auto_reset=True)
         n = 256
