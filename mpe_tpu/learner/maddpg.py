@@ -512,6 +512,37 @@ def build_fused_update(
     return update_fn
 
 
+def _pack_opt_states(pack, opt_states):
+    """Pack the adam moments of {"actor": state, "critic": state} with
+    the kernel's params packer (moments are params-shaped; packing is
+    leaf-for-leaf, so optimizer steps in packed space are elementwise-
+    identical). count/EmptyState fields pass through untouched."""
+    sa, sc = opt_states["actor"], opt_states["critic"]
+    assert hasattr(sa[0], "mu") and hasattr(sc[0], "mu"), (
+        "packed-space chunk scan expects optax.adam-style states")
+    mu = pack({"actor": sa[0].mu, "critic": sc[0].mu})
+    nu = pack({"actor": sa[0].nu, "critic": sc[0].nu})
+    return {
+        "actor": (sa[0]._replace(mu=mu["actor"], nu=nu["actor"]),)
+        + tuple(sa[1:]),
+        "critic": (sc[0]._replace(mu=mu["critic"], nu=nu["critic"]),)
+        + tuple(sc[1:]),
+    }
+
+
+def _unpack_opt_states(unpack, opt_states):
+    """Inverse of _pack_opt_states."""
+    sa, sc = opt_states["actor"], opt_states["critic"]
+    mu = unpack({"actor": sa[0].mu, "critic": sc[0].mu})
+    nu = unpack({"actor": sa[0].nu, "critic": sc[0].nu})
+    return {
+        "actor": (sa[0]._replace(mu=mu["actor"], nu=nu["actor"]),)
+        + tuple(sa[1:]),
+        "critic": (sc[0]._replace(mu=mu["critic"], nu=nu["critic"]),)
+        + tuple(sc[1:]),
+    }
+
+
 def _make_grads_fn(env, grad_engine: str, *, batch, gamma, ent_coef,
                    hidden, block_b, interpret, compute_dtype):
     """grads(params, targets, obs_b, act_b, rew_b, obs2_b) with the
@@ -548,7 +579,7 @@ def build_fused_update_chunk(
     block_b: int = 1024,
     interpret: bool = False,
     compute_dtype=jnp.float32,
-    grad_engine: str = "xla",
+    grad_engine: str = "kernel",
 ):
     """``n_updates`` sequential fused updates per call with the replay
     batches PRE-GATHERED in one read: ``update_chunk(params, targets,
@@ -567,9 +598,11 @@ def build_fused_update_chunk(
 
     ``gates`` is a bool [n_updates] vector of per-update ``do_actor``
     flags (the critic-warmup / actor-delay schedule). ``grad_engine``
-    picks the gradient implementation: "xla" (maddpg_xla_grads — the
-    measured default at batch-1024 shapes) or "kernel"
-    (ops/fused_maddpg_update); the two are pinned equal at 1e-9 f64."""
+    picks the gradient implementation: "kernel" (ops/fused_maddpg_update
+    run entirely in PACKED weight space across the chunk — the measured
+    default: 22.2 vs 27.9 ns/transition for the XLA op-chain at
+    batch-1024 spread shapes, tools/maddpg_ablate.py) or "xla"
+    (maddpg_xla_grads); the two are pinned equal at 1e-9 f64."""
     mw = 2 * env.spec.dim_p + 1
     aw = maddpg_act_dim(env)
     obs_dim = env.scenario.obs_width
@@ -579,6 +612,8 @@ def build_fused_update_chunk(
                               ent_coef=ent_coef, hidden=hidden,
                               block_b=block_b, interpret=interpret,
                               compute_dtype=compute_dtype)
+
+    packed = hasattr(grads_fn, "run_packed")
 
     @jax.jit
     def update_chunk(params, targets, opt_states, buffer: Buffer, key,
@@ -590,12 +625,29 @@ def build_fused_update_chunk(
         rows = buffer.data[idx.reshape(-1)].reshape(
             n_updates, batch, buffer.data.shape[1])
 
+        if packed:
+            # kernel engine: the whole scan runs in PACKED weight
+            # space (block-diagonal stacked operands). Packing costs
+            # ~16 us — as much as the gradient kernel itself — so it
+            # happens ONCE per chunk here instead of once per update;
+            # adam/polyak/gating are elementwise, so packed-space
+            # updates are bit-identical and the masked grads keep the
+            # zero padding exactly zero.
+            params = grads_fn.pack_params(params)
+            targets = grads_fn.pack_params(targets)
+            opt_states = _pack_opt_states(grads_fn.pack_params,
+                                          opt_states)
+
         def body(c, xs):
             p, t, o = c
             rows_u, gate = xs
-            obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
-            grads, (closs, aloss, qmean) = grads_fn(
-                p, t, obs_b, act_b, rew_b, obs2_b)
+            if packed:
+                grads, (closs, aloss, qmean) = grads_fn.run_packed(
+                    p, t, rows_u)
+            else:
+                obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
+                grads, (closs, aloss, qmean) = grads_fn(
+                    p, t, obs_b, act_b, rew_b, obs2_b)
             p, t, o = _apply_maddpg_update(
                 p, t, o, grads, gate, actor_opt=actor_opt,
                 critic_opt=critic_opt, tau_polyak=tau_polyak)
@@ -604,6 +656,11 @@ def build_fused_update_chunk(
         (params, targets, opt_states), (cl, al, q) = jax.lax.scan(
             body, (params, targets, opt_states),
             (rows, jnp.asarray(gates)))
+        if packed:
+            params = grads_fn.unpack_params(params)
+            targets = grads_fn.unpack_params(targets)
+            opt_states = _unpack_opt_states(grads_fn.unpack_params,
+                                            opt_states)
         metrics = {"critic_loss": cl[-1], "actor_loss": al[-1],
                    "q": q[-1]}
         return params, targets, opt_states, metrics
@@ -634,7 +691,7 @@ def build_fused_maddpg_dp(
     t_chunk: int | None = None,
     interpret: bool = False,
     axis_name: str = "env",
-    grad_engine: str = "xla",
+    grad_engine: str = "kernel",
 ):
     """Data-parallel FULLY-fused MADDPG over a device mesh: per device,
     the collection kernel fills a LOCAL replay shard (envs never
@@ -737,12 +794,23 @@ def build_fused_maddpg_dp(
         rows = buffer.data[idx.reshape(-1)].reshape(
             updates_per_chunk, batch, buffer.data.shape[1])
 
+        packed = hasattr(grads_fn, "run_packed")
+        if packed:   # see build_fused_update_chunk: pack once per chunk
+            params = grads_fn.pack_params(params)
+            targets = grads_fn.pack_params(targets)
+            opt_states = _pack_opt_states(grads_fn.pack_params,
+                                          opt_states)
+
         def upd(c, xs):
             p, t, o = c
             rows_u, gate = xs
-            obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
-            grads, (closs, aloss, qmean) = grads_fn(
-                p, t, obs_b, act_b, rew_b, obs2_b)
+            if packed:
+                grads, (closs, aloss, qmean) = grads_fn.run_packed(
+                    p, t, rows_u)
+            else:
+                obs_b, act_b, rew_b, obs2_b = buffer._split(rows_u)
+                grads, (closs, aloss, qmean) = grads_fn(
+                    p, t, obs_b, act_b, rew_b, obs2_b)
             grads = jax.lax.pmean(grads, axis_name)
             p, t, o = _apply_maddpg_update(
                 p, t, o, grads, gate, actor_opt=actor_opt,
@@ -752,6 +820,11 @@ def build_fused_maddpg_dp(
         (params, targets, opt_states), cl = jax.lax.scan(
             upd, (params, targets, opt_states),
             (rows, jnp.asarray(gates)))
+        if packed:
+            params = grads_fn.unpack_params(params)
+            targets = grads_fn.unpack_params(targets)
+            opt_states = _unpack_opt_states(grads_fn.unpack_params,
+                                            opt_states)
         metrics = {
             "mean_reward": jax.lax.pmean(rew_a.mean(), axis_name),
             "critic_loss": jax.lax.pmean(cl[-1], axis_name),

@@ -8,18 +8,33 @@ replay ring (~118 us before it — tools/maddpg_ablate.py), a long chain
 of ~60 SMALL per-agent matmuls ([64, 69] @ [69, 1024] etc.) whose
 activations round-trip HBM between ops. This kernel (a) keeps every
 activation in VMEM and (b) collapses the per-agent networks into
-STACKED operands so the whole update is ~24 matmuls (23.4 us measured,
-near the ~52 TF/s in-kernel f32 matmul rate) regardless of agent
-count:
+STACKED operands so the whole update is a couple dozen matmuls
+regardless of agent count — measured 22.2 ns/transition in the
+packed-space chunk trainer vs 27.9 for the XLA op-chain
+(tools/maddpg_ablate.py chunk_update_* phases; PERF.md r4 item):
 
+  - the sampled replay rows enter as ONE [W, N] column tensor (the
+    row layout [obs | act | rew | obs2] transposed IS the kernel
+    layout; the critic's joint input is a free contiguous slice);
   - activations carry all agents on sublanes ([A*H, N]);
   - layer-1 critics share their input (the joint) so their weights
     stack VERTICALLY ([A*H, J] @ [J, N] — zero waste);
-  - per-agent hidden layers become BLOCK-DIAGONAL matmuls
-    ([A*H, A*H] @ [A*H, N]), built once per call by the XLA wrapper;
-  - weight-gradient outer products emit PACKED [A*H, A*H] matrices in
-    one matmul; the wrapper extracts the diagonal blocks (the
-    off-diagonal cross-agent blocks are discarded padding).
+  - per-agent hidden layers are block-diagonal matmuls executed as
+    one matmul per TILE GROUP of 128//H agents (_tile_groups): the
+    group block fills a 128-row MXU tile exactly, so A=3/H=64 does 2
+    tiles of work where the full [A*H, A*H] form padded to 4 (and
+    world_comm's A=6 does 3 instead of 9); backward passes contract
+    the same weights transposed via ``dot_general`` (W.T never
+    materializes);
+  - weight-gradient outer products emit the packed group-diagonal
+    blocks; cross-agent entries are masked to exact zeros so
+    optimizer steps can run IN PACKED SPACE — building the packed
+    operands from the [A, o, i] param pytrees costs ~16.5 us/update
+    on chip (as much as the gradient itself), so
+    learner.build_fused_update_chunk packs params/targets/adam
+    moments once per chunk, scans every update packed
+    (elementwise adam/polyak/gating are bit-identical), and unpacks
+    once (grads_fn.pack_params / run_packed / unpack_params).
 
 The update itself:
 
@@ -72,6 +87,15 @@ from jax.experimental.pallas import tpu as pltpu
 from mpe_tpu.ops.fused_policy import _argmax_onehot
 from mpe_tpu.ops.fused_update import VPAD, _acc_dtype, _dot, _dot_nt
 
+
+def _dot_tn(w, g, cd):
+    """w [K, M], g [K, N] -> w.T @ g [M, N] (contraction over
+    sublanes; the MXU consumes the transposed lhs natively, so the
+    wrapper never materializes W.T)."""
+    return jax.lax.dot_general(
+        w.astype(cd), g.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=_acc_dtype(cd))
+
 f32 = jnp.float32
 
 
@@ -102,22 +126,54 @@ def _sum2(x):
                    keepdims=True)
 
 
+def _tile_groups(a: int, h: int, gsz: int):
+    """Row-slice per agent group: the [A*H, A*H] block-diagonal hidden
+    layers are computed as one matmul per GROUP of ``gsz`` agents whose
+    combined height gsz*h fills a 128-row MXU tile exactly, instead of
+    one [A*H, A*H] matmul that pays ~A/gsz x tile-padding flops on the
+    zero off-diagonal blocks (A=3, H=64: 2 tiles' work instead of 4;
+    world_comm A=6: 3 instead of 9). Slice starts are multiples of
+    gsz*h = 128 (or of h when h % 128 == 0), so every slice is
+    tile-aligned; the last group may be partial."""
+    return [slice(g0 * h, min(g0 + gsz, a) * h)
+            for g0 in range(0, a, gsz)]
+
+
 def _maddpg_update_kernel(
-    obs, act, rew, obs2,
-    w1a, b1a, w2a, b2a, w3a, b3a, w2a_p, w3a_p,
-    w1c, b1c, w2c, b2c, w3c, b3c, w2c_p, w3c_p, w1c_act, dcand,
+    cols,
+    w1a, b1a, w2a, b2a, w3a, b3a,
+    w1c, b1c, w2c, b2c, w3c, b3c, w1c_act, dcand,
     t1a, tb1a, t2a, tb2a, t3a, tb3a,
     t1c, tb1c, t2c, tb2c, t3c, tb3c,
     dw1a, db1a, dw2a, db2a, dw3a, db3a,
     dw1c, db1c, dw2c, db2c, dw3c, db3c, msum,
-    *, a: int, mw: int, cw: int, gamma: float, ent_coef: float,
-    inv: float, block_b: int, cand_group: int, cd, ablate: str = "",
+    *, a: int, o: int, h: int, gsz: int, mw: int, cw: int,
+    gamma: float, ent_coef: float, inv: float, block_b: int,
+    cand_group: int, cd, ablate: str = "",
 ):
     at = _acc_dtype(cd)
     nb = block_b
     k = mw + cw
     cwx = max(cw, 1)
     n_cand = mw * cwx
+    groups = _tile_groups(a, h, gsz)
+
+    def gmm(wblk, x):
+        """Group-diagonal [A*H, A*H] (x) [A*H, N] matmul (see
+        _tile_groups); one full matmul when a*h fits a single group."""
+        if len(groups) == 1:
+            return _dot(wblk[:], x, cd)
+        outs_ = [_dot(wblk[r, r], x[r], cd) for r in groups]
+        return jnp.concatenate(outs_, axis=0)
+
+    def gmm_t(wblk, g):
+        """Group-diagonal W.T @ g via a transposed-lhs contraction —
+        no materialized transpose (backward passes)."""
+        if len(groups) == 1:
+            return _dot_tn(wblk[:], g, cd)
+        outs_ = [_dot_tn(wblk[r, r], g[r], cd) for r in groups]
+        return jnp.concatenate(outs_, axis=0)
+
     outs = (dw1a, db1a, dw2a, db2a, dw3a, db3a,
             dw1c, db1c, dw2c, db2c, dw3c, db3c, msum)
 
@@ -126,16 +182,24 @@ def _maddpg_update_kernel(
         for ref in outs:
             ref[:] = jnp.zeros_like(ref)
 
-    x_obs = obs[:]                                        # [A*O, nb]
-    x_act = act[:]                                        # [A*K, nb]
-    joint = jnp.concatenate([x_obs, x_act], axis=0)       # [J, nb]
+    # the replay row layout [obs | act | rew | obs2] transposed to
+    # columns IS the kernel layout: one [W, nb] tensor, four slices —
+    # and the critic's joint input is the contiguous [0 : A*(O+K)) block
+    # (no concat, no per-field transposes in the wrapper)
+    ao, ak = a * o, a * k
+    cols_v = cols[:]                                      # [W, nb]
+    x_obs = cols_v[:ao]                                   # [A*O, nb]
+    x_act = cols_v[ao : ao + ak]                          # [A*K, nb]
+    joint = cols_v[: ao + ak]                             # [J, nb]
+    rew_v = cols_v[ao + ak : ao + ak + a]                 # [A, nb]
+    obs2_v = cols_v[ao + ak + a :]                        # [A*O, nb]
 
     # 1. target actions: stacked target-actor MLP + per-head argmax
     if "target" in ablate:          # timing ablation: zero targets
-        y = rew[:]
+        y = rew_v
     else:
-        h = jnp.tanh(_dot(t1a[:], obs2[:], cd) + tb1a[:])  # [A*H, nb]
-        h = jnp.tanh(_dot(t2a[:], h, cd) + tb2a[:])
+        h = jnp.tanh(_dot(t1a[:], obs2_v, cd) + tb1a[:])   # [A*H, nb]
+        h = jnp.tanh(gmm(t2a, h) + tb2a[:])
         z2 = _dot(t3a[:], h, cd) + tb3a[:]                 # [A*K, nb]
         act2_rows = []
         for i in range(a):
@@ -143,19 +207,19 @@ def _maddpg_update_kernel(
             if cw:
                 act2_rows.append(
                     _argmax_onehot(z2[i * k + mw : (i + 1) * k], at))
-        joint2 = jnp.concatenate([obs2[:]] + act2_rows, axis=0)  # [J, nb]
+        joint2 = jnp.concatenate([obs2_v] + act2_rows, axis=0)  # [J, nb]
 
         # 2. TD targets from the stacked target critics (the [_cpad(a)]
         # padded value-head rows are sliced off — see _cpad)
         g1 = jnp.tanh(_dot(t1c[:], joint2, cd) + tb1c[:])  # [A*H, nb]
-        g2 = jnp.tanh(_dot(t2c[:], g1, cd) + tb2c[:])
+        g2 = jnp.tanh(gmm(t2c, g1) + tb2c[:])
         qn = (_dot(t3c[:], g2, cd) + tb3c[:])[:a]          # [A, nb]
-        y = rew[:] + gamma * qn
+        y = rew_v + gamma * qn
 
     # 3. critic forward + TD gradient + backward (all agents at once)
     pre = _dot(w1c[:], joint, cd) + b1c[:]                # [A*H, nb]
     h1 = jnp.tanh(pre)
-    h2 = jnp.tanh(_dot(w2c[:], h1, cd) + b2c[:])
+    h2 = jnp.tanh(gmm(w2c, h1) + b2c[:])
     q = (_dot(w3c[:], h2, cd) + b3c[:])[:a]               # [A, nb]
     d = (q - y).astype(at)
     g3 = (2.0 * inv) * d
@@ -163,11 +227,12 @@ def _maddpg_update_kernel(
         g3 = jnp.concatenate(
             [g3, jnp.zeros((_cpad(a) - a, nb), g3.dtype)], axis=0)
     if "cbwd" not in ablate:        # timing ablation: skip critic bwd
-        gh2 = _dot(w3c_p[:], g3, cd) * (1.0 - jnp.square(h2))
-        gh1 = _dot(w2c_p[:], gh2, cd) * (1.0 - jnp.square(h1))
+        gh2 = _dot_tn(w3c[:], g3, cd) * (1.0 - jnp.square(h2))
+        gh1 = gmm_t(w2c, gh2) * (1.0 - jnp.square(h1))
         dw1c[:] = dw1c[:] + _dot_nt(gh1, joint, cd)       # [A*H, J]
         db1c[:] = db1c[:] + jnp.sum(gh1, axis=1, keepdims=True)
-        dw2c[:] = dw2c[:] + _dot_nt(gh2, h1, cd)          # [A*H, A*H]
+        for r in groups:   # group-diagonal blocks; off-blocks stay 0
+            dw2c[r, r] = dw2c[r, r] + _dot_nt(gh2[r], h1[r], cd)
         db2c[:] = db2c[:] + jnp.sum(gh2, axis=1, keepdims=True)
         dw3c[:] = dw3c[:] + _dot_nt(g3, h2, cd)           # [cpad, A*H]
         db3c[:] = db3c[:] + jnp.sum(g3, axis=1, keepdims=True)
@@ -176,7 +241,7 @@ def _maddpg_update_kernel(
 
     # 4. actor forward (stacked) + exact expected-Q gradient
     ha1 = jnp.tanh(_dot(w1a[:], x_obs, cd) + b1a[:])      # [A*H, nb]
-    ha2 = jnp.tanh(_dot(w2a[:], ha1, cd) + b2a[:])
+    ha2 = jnp.tanh(gmm(w2a, ha1) + b2a[:])
     z = _dot(w3a[:], ha2, cd) + b3a[:]                    # [A*K, nb]
 
     # candidate Q for ALL (agent, candidate) pairs: layer-1 reuse
@@ -189,7 +254,7 @@ def _maddpg_update_kernel(
             grp = list(range(g0, min(g0 + cand_group, n_cand)))
             c1 = jnp.tanh(jnp.concatenate(
                 [base + dcand[:, c : c + 1] for c in grp], axis=1))
-            c2 = jnp.tanh(_dot(w2c[:], c1, cd) + b2c[:])  # [A*H, g*nb]
+            c2 = jnp.tanh(gmm(w2c, c1) + b2c[:])          # [A*H, g*nb]
             qg = _dot(w3c[:], c2, cd) + b3c[:]            # [A, g*nb]
             for t in range(len(grp)):
                 qs.append(qg[:, t * nb : (t + 1) * nb].astype(at))
@@ -228,11 +293,12 @@ def _maddpg_update_kernel(
     gz = (jnp.concatenate(gz_rows, axis=0) if gz_rows
           else jnp.zeros((a * k, nb), at))                # [A*K, nb]
     if "abwd" not in ablate:        # timing ablation: skip actor bwd
-        gha2 = _dot(w3a_p[:], gz, cd) * (1.0 - jnp.square(ha2))
-        gha1 = _dot(w2a_p[:], gha2, cd) * (1.0 - jnp.square(ha1))
+        gha2 = _dot_tn(w3a[:], gz, cd) * (1.0 - jnp.square(ha2))
+        gha1 = gmm_t(w2a, gha2) * (1.0 - jnp.square(ha1))
         dw1a[:] = dw1a[:] + _dot_nt(gha1, x_obs, cd)      # [A*H, A*O]
         db1a[:] = db1a[:] + jnp.sum(gha1, axis=1, keepdims=True)
-        dw2a[:] = dw2a[:] + _dot_nt(gha2, ha1, cd)        # [A*H, A*H]
+        for r in groups:   # group-diagonal blocks; off-blocks stay 0
+            dw2a[r, r] = dw2a[r, r] + _dot_nt(gha2[r], ha1[r], cd)
         db2a[:] = db2a[:] + jnp.sum(gha2, axis=1, keepdims=True)
         dw3a[:] = dw3a[:] + _dot_nt(gz, ha2, cd)          # [A*K, A*H]
         db3a[:] = db3a[:] + jnp.sum(gz, axis=1, keepdims=True)
@@ -293,10 +359,22 @@ def fused_maddpg_update(
         cand_group = max(1, min(n_cand, 4096 // block_b,
                                 (h_ref * 4 * 1024) // (a * h * block_b)))
 
+    # agent-group size for the block-diagonal hidden layers (see
+    # _tile_groups): groups of 128//h agents when h divides 128, one
+    # agent per group when h is a multiple of 128 (slices stay
+    # tile-aligned), else no grouping (full block-diag matmul)
+    if h % 128 == 0:
+        gsz = 1
+    elif 128 % h == 0:
+        gsz = 128 // h
+    else:
+        gsz = a
+
     kernel = functools.partial(
-        _maddpg_update_kernel, a=a, mw=mw, cw=cw, gamma=float(gamma),
-        ent_coef=float(ent_coef), inv=inv, block_b=block_b,
-        cand_group=cand_group, cd=compute_dtype, ablate=ablate)
+        _maddpg_update_kernel, a=a, o=obs_dim, h=h, gsz=gsz, mw=mw,
+        cw=cw, gamma=float(gamma), ent_coef=float(ent_coef), inv=inv,
+        block_b=block_b, cand_group=cand_group, cd=compute_dtype,
+        ablate=ablate)
 
     def batch_spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
@@ -306,9 +384,9 @@ def fused_maddpg_update(
         return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                             memory_space=pltpu.VMEM)
 
-    in_specs = ([batch_spec(a * obs_dim), batch_spec(a * k),
-                 batch_spec(a), batch_spec(a * obs_dim)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 30)
+    row_w = a * (2 * obs_dim + k + 1)   # fused replay row width
+    in_specs = ([batch_spec(row_w)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 26)
     out_specs = (
         whole((a * h, a * obs_dim)), whole((a * h, 1)),    # actor l1
         whole((a * h, a * h)), whole((a * h, 1)),          # actor l2
@@ -350,72 +428,133 @@ def fused_maddpg_update(
         r = full.reshape(a, o, a, i)
         return r[jnp.arange(a), :, jnp.arange(a), :]
 
-    @jax.jit
-    def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
-        got = params["actor"]["l1"]["w"].shape
+    kl = lambda w: jnp.transpose(w, (0, 2, 1)).astype(acc_t)
+    col = lambda b: b.reshape(-1, 1).astype(acc_t)  # [A, X] -> [A*X, 1]
+    pl_ = lambda w: jnp.transpose(w, (0, 2, 1))     # kernel -> param
+
+    def pack_params(p):
+        """Params pytree (init_maddpg layout) -> the PACKED pytree of
+        kernel operands, leaf for leaf (same tree structure, so adam
+        moments pack with the same function): actor weights
+        block-diagonal [A*o, A*i], critic l1 vertically stacked over
+        the shared joint, critic value head zero-padded to _cpad(a)
+        rows, biases as [A*X, 1] columns. Packing costs ~16 us on a
+        v5e — the dominant per-update cost before the packed-space
+        chunk scan (see build_fused_update_chunk), which is why the
+        training loop carries PACKED state and unpacks once per
+        chunk."""
+        got = p["actor"]["l1"]["w"].shape
         assert got == (a, obs_dim, h), (
             f"actor l1 weight shape {got} != ({a}, {obs_dim}, {h}) — "
             "pass the init_maddpg dims (incl. hidden=) this builder was "
             "configured with")
-        kl = lambda w: jnp.transpose(w, (0, 2, 1)).astype(acc_t)
-        col = lambda b: b.reshape(-1, 1).astype(acc_t)  # [A, X] -> [A*X, 1]
+        w3c, b3c = _blkdiag(kl(p["critic"]["out"]["w"])), col(
+            p["critic"]["out"]["b"])
+        if _cpad(a) != a:
+            zw = jnp.zeros((_cpad(a) - a, w3c.shape[1]), w3c.dtype)
+            w3c = jnp.concatenate([w3c, zw], axis=0)
+            b3c = jnp.concatenate(
+                [b3c, jnp.zeros((_cpad(a) - a, 1), b3c.dtype)], axis=0)
+        return {
+            "actor": {
+                "l1": {"w": _blkdiag(kl(p["actor"]["l1"]["w"])),
+                       "b": col(p["actor"]["l1"]["b"])},
+                "l2": {"w": _blkdiag(kl(p["actor"]["l2"]["w"])),
+                       "b": col(p["actor"]["l2"]["b"])},
+                "out": {"w": _blkdiag(kl(p["actor"]["out"]["w"])),
+                        "b": col(p["actor"]["out"]["b"])},
+            },
+            "critic": {
+                "l1": {"w": kl(p["critic"]["l1"]["w"]).reshape(-1,
+                                                               joint_w),
+                       "b": col(p["critic"]["l1"]["b"])},
+                "l2": {"w": _blkdiag(kl(p["critic"]["l2"]["w"])),
+                       "b": col(p["critic"]["l2"]["b"])},
+                "out": {"w": w3c, "b": b3c},
+            },
+        }
 
-        def stacked_net(p, l1_shared: bool):
-            """(W1, b1, W2blk, b2, W3blk, b3) for one stacked MLP; the
-            layer-1 weight stacks vertically when the input is shared
-            (critics: the joint) and block-diagonally otherwise
-            (actors: per-agent obs on sublanes). Critic value-head
-            stacks are zero-padded to _cpad(a) rows when a == 1
-            (Mosaic M=1/K=1 matmul precision)."""
-            w1 = (kl(p["l1"]["w"]).reshape(-1, p["l1"]["w"].shape[1])
-                  if l1_shared else _blkdiag(kl(p["l1"]["w"])))
-            w3, b3 = _blkdiag(kl(p["out"]["w"])), col(p["out"]["b"])
-            if l1_shared and _cpad(a) != a:
-                zw = jnp.zeros((_cpad(a) - a, w3.shape[1]), w3.dtype)
-                w3 = jnp.concatenate([w3, zw], axis=0)
-                b3 = jnp.concatenate(
-                    [b3, jnp.zeros((_cpad(a) - a, 1), b3.dtype)], axis=0)
-            return (w1, col(p["l1"]["b"]),
-                    _blkdiag(kl(p["l2"]["w"])), col(p["l2"]["b"]),
-                    w3, b3)
+    def unpack_params(pk):
+        """Inverse of pack_params (exact: packing only places values
+        and zeros)."""
+        return {
+            "actor": {
+                "l1": {"w": pl_(_diagblocks(pk["actor"]["l1"]["w"], h,
+                                            obs_dim)),
+                       "b": pk["actor"]["l1"]["b"].reshape(a, h)},
+                "l2": {"w": pl_(_diagblocks(pk["actor"]["l2"]["w"], h,
+                                            h)),
+                       "b": pk["actor"]["l2"]["b"].reshape(a, h)},
+                "out": {"w": pl_(_diagblocks(pk["actor"]["out"]["w"], k,
+                                             h)),
+                        "b": pk["actor"]["out"]["b"].reshape(a, k)},
+            },
+            "critic": {
+                "l1": {"w": pl_(pk["critic"]["l1"]["w"].reshape(
+                    a, h, joint_w)),
+                       "b": pk["critic"]["l1"]["b"].reshape(a, h)},
+                "l2": {"w": pl_(_diagblocks(pk["critic"]["l2"]["w"], h,
+                                            h)),
+                       "b": pk["critic"]["l2"]["b"].reshape(a, h)},
+                "out": {"w": pl_(_diagblocks(
+                    pk["critic"]["out"]["w"][:a], 1, h)),
+                        "b": pk["critic"]["out"]["b"][:a].reshape(a, 1)},
+            },
+        }
 
-        w1a, b1a, w2a, b2a, w3a, b3a = stacked_net(params["actor"], False)
-        w1c, b1c, w2c, b2c, w3c, b3c = stacked_net(params["critic"], True)
-        w1c_param = params["critic"]["l1"]["w"]        # [A, J, H]
+    # 0/1 masks zeroing the cross-agent (and cross-pair) entries of the
+    # packed weight-grad outer products, so packed-space optimizer steps
+    # keep packed weights exactly block-diagonal
+    def _mask_like(o_, i_):
+        m = np.zeros((a * o_, a * i_), np.float32)
+        for i in range(a):
+            m[i * o_ : (i + 1) * o_, i * i_ : (i + 1) * i_] = 1.0
+        return jnp.asarray(m)
+
+    _grad_masks = {
+        "actor": {"l1": _mask_like(h, obs_dim), "l2": _mask_like(h, h),
+                  "out": _mask_like(k, h)},
+        "critic": {"l2": _mask_like(h, h),
+                   "out": jnp.concatenate(
+                       [_mask_like(1, h),
+                        jnp.zeros(((_cpad(a) - a) * 1, a * h),
+                                  jnp.float32)], axis=0)},
+    }
+
+    def _run_packed(pkp, pkt, cols):
+        """Packed params/targets + cols [W, B] -> (packed grads,
+        metrics). The candidate-Q operands are derived from the packed
+        critic l1 (same values as the param-layout slices)."""
+        w1c = pkp["critic"]["l1"]["w"]                 # [A*H, J]
         w1c_act = jnp.stack([
-            w1c_param[i, aO + i * k : aO + (i + 1) * k].T
-            for i in range(a)]).astype(acc_t)          # [A, H, K]
+            w1c[i * h : (i + 1) * h, aO + i * k : aO + (i + 1) * k]
+            for i in range(a)])                        # [A, H, K]
         dcand = jnp.einsum("ahk,ck->ahc", w1c_act,
                            cand.astype(acc_t)).reshape(a * h, n_cand)
 
-        rows = lambda x: x.reshape(x.shape[0], -1).T.astype(acc_t)
-        outs = call(
-            rows(obs_b), rows(act_b), rew_b.T.astype(acc_t), rows(obs2_b),
-            w1a, b1a, w2a, b2a, w3a, b3a, w2a.T, w3a.T,
-            w1c, b1c, w2c, b2c, w3c, b3c, w2c.T, w3c.T,
-            _blkdiag(w1c_act), dcand,
-            *stacked_net(targets["actor"], False),
-            *stacked_net(targets["critic"], True))
+        def operands(pk):
+            return (pk["actor"]["l1"]["w"], pk["actor"]["l1"]["b"],
+                    pk["actor"]["l2"]["w"], pk["actor"]["l2"]["b"],
+                    pk["actor"]["out"]["w"], pk["actor"]["out"]["b"],
+                    pk["critic"]["l1"]["w"], pk["critic"]["l1"]["b"],
+                    pk["critic"]["l2"]["w"], pk["critic"]["l2"]["b"],
+                    pk["critic"]["out"]["w"], pk["critic"]["out"]["b"])
+
+        outs = call(cols, *operands(pkp)[:6], *operands(pkp)[6:],
+                    _blkdiag(w1c_act), dcand, *operands(pkt))
         (dw1a, db1a, dw2a, db2a, dw3a, db3a,
          dw1c, db1c, dw2c, db2c, dw3c, db3c, msum) = outs
-
-        pl_ = lambda w: jnp.transpose(w, (0, 2, 1))    # kernel -> param
+        gm = _grad_masks
         grads = {
             "actor": {
-                "l1": {"w": pl_(_diagblocks(dw1a, h, obs_dim)),
-                       "b": db1a.reshape(a, h)},
-                "l2": {"w": pl_(_diagblocks(dw2a, h, h)),
-                       "b": db2a.reshape(a, h)},
-                "out": {"w": pl_(_diagblocks(dw3a, k, h)),
-                        "b": db3a.reshape(a, k)},
+                "l1": {"w": dw1a * gm["actor"]["l1"], "b": db1a},
+                "l2": {"w": dw2a * gm["actor"]["l2"], "b": db2a},
+                "out": {"w": dw3a * gm["actor"]["out"], "b": db3a},
             },
             "critic": {
-                "l1": {"w": pl_(dw1c.reshape(a, h, joint_w)),
-                       "b": db1c.reshape(a, h)},
-                "l2": {"w": pl_(_diagblocks(dw2c, h, h)),
-                       "b": db2c.reshape(a, h)},
-                "out": {"w": pl_(_diagblocks(dw3c[:a], 1, h)),
-                        "b": db3c[:a].reshape(a, 1)},
+                "l1": {"w": dw1c, "b": db1c},
+                "l2": {"w": dw2c * gm["critic"]["l2"], "b": db2c},
+                "out": {"w": dw3c * gm["critic"]["out"], "b": db3c},
             },
         }
         metrics = (msum[0, 0] * inv,            # critic loss
@@ -423,5 +562,47 @@ def fused_maddpg_update(
                    msum[1, 0] * inv)            # mean Q
         return grads, metrics
 
+    def _run(params, targets, cols):
+        """Param-layout convenience wrapper: pack, run, unpack the
+        grads (the chunk trainer avoids this per-update round trip by
+        scanning in packed space — see run_packed)."""
+        pkg, metrics = _run_packed(pack_params(params),
+                                   pack_params(targets), cols)
+        return unpack_params(pkg), metrics
+
+    @jax.jit
+    def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
+        rows = lambda x: x.reshape(x.shape[0], -1).T.astype(acc_t)
+        cols = jnp.concatenate(
+            [rows(obs_b), rows(act_b), rew_b.T.astype(acc_t),
+             rows(obs2_b)], axis=0)
+        return _run(params, targets, cols)
+
+    @jax.jit
+    def from_rows(params, targets, rows_b):
+        """Gathered replay rows [B, W] (Buffer.data layout
+        [obs | act | rew | obs2]) -> (grads, metrics) with ONE
+        transpose — the chunk trainer's fast path (the 4-field split +
+        per-field transposes of grads_fn are relayout work the kernel
+        layout never needed)."""
+        assert rows_b.shape[1] == a * (2 * obs_dim + k + 1), rows_b.shape
+        return _run(params, targets, rows_b.T.astype(acc_t))
+
+    @jax.jit
+    def run_packed(pkp, pkt, rows_b):
+        """Packed-space fast path: packed params/targets + gathered
+        replay rows [B, W] -> (PACKED grads, metrics). The chunk
+        trainer packs once per chunk, scans all updates in packed
+        space (adam/polyak are elementwise, so packed-space optimizer
+        steps are bit-identical on the real entries and keep the
+        zero padding exactly zero via the grad masks), and unpacks
+        once — amortizing the ~16 us/update packing cost ~n_updates x.
+        """
+        return _run_packed(pkp, pkt, rows_b.T.astype(acc_t))
+
+    grads_fn.pack_params = jax.jit(pack_params)
+    grads_fn.unpack_params = jax.jit(unpack_params)
+    grads_fn.run_packed = run_packed
+    grads_fn.from_rows = from_rows
     grads_fn.block_b = block_b
     return grads_fn

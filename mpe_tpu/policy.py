@@ -2,9 +2,11 @@
 
 Re-designs reference multiagent/policy.py (``Policy.action`` abstract at
 policy.py:5-9; ``InteractivePolicy`` hooking pyglet window key events at
-policy.py:13-40). Without a GL window, key input comes from a pluggable
-``KeySource``: a raw-mode stdin reader on a TTY, or a scripted/random
-source headless. The emitted action matches the reference exactly: a
+policy.py:13-40). Key input comes from a pluggable ``KeySource``: real
+window key events when the env's viewer opened a display window
+(render/window.py — the reference's behavior), a raw-mode stdin reader
+on a TTY, or a scripted/random source headless. The emitted action
+matches the reference exactly: a
 5-element move vector (one-hot-ish; u[1]=+x, u[2]=-x, u[3]=+y, u[4]=-y
 per policy.py:24-38) concatenated with a zero comm vector for non-silent
 agents (movement-only, no comm input — policy.py:12-13).
@@ -104,6 +106,21 @@ class ScriptedKeySource(KeySource):
         return set()
 
 
+def _viewer_key_source(env, agent_index: int) -> "KeySource | None":
+    """A WindowKeySource over the agent's (or the shared) viewer window,
+    if the env has rendered one — else None."""
+    viewers = getattr(env, "_viewers", None)
+    if not viewers:
+        return None
+    viewer = viewers[agent_index if agent_index < len(viewers) else 0]
+    window = getattr(viewer, "window", None)
+    if window is None:
+        return None
+    from mpe_tpu.render.window import WindowKeySource
+
+    return WindowKeySource(window)
+
+
 class InteractivePolicy(Policy):
     """Keyboard-driven policy (reference policy.py:13-52).
 
@@ -116,6 +133,11 @@ class InteractivePolicy(Policy):
     def __init__(self, env, agent_index: int, key_source: KeySource | None = None):
         self.env = env
         self.agent_index = agent_index
+        if key_source is None:
+            # prefer genuine window key events when the env has a live
+            # viewer window (the reference hooks the agent's viewer
+            # window, policy.py:21-22); fall back to raw-mode stdin
+            key_source = _viewer_key_source(env, agent_index)
         self.keys = key_source if key_source is not None else StdinKeySource()
         spec = env.world_spec
         self._movable = bool(spec.movable[agent_index])

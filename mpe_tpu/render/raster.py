@@ -6,8 +6,10 @@ immediate-mode renderer) without any GL/window dependency: the same
 (rendering.py:45-317), drawing into a numpy RGB canvas with alpha
 blending and anti-aliased edges. ``render(return_rgb_array=True)``
 returns the frame like the reference's color-buffer readback
-(rendering.py:98-109); "display" is a no-op on headless machines (frames
-can be saved via ``SimpleImageViewer``).
+(rendering.py:98-109). Display is headless by default (frames can be
+saved via ``SimpleImageViewer``); when a display exists (or
+MPE_WINDOW=1) the Viewer mirrors frames into an optional matplotlib
+window with real key events (render/window.py).
 
 Pure NumPy on host — rendering is observability tooling, not a hot path;
 the simulation itself never leaves the device for it.
@@ -355,13 +357,21 @@ class Canvas:
 
 
 class Viewer:
-    """Drop-in for the reference Viewer (rendering.py:45-145)."""
+    """Drop-in for the reference Viewer (rendering.py:45-145).
+
+    Headless by default; when a display is available (or MPE_WINDOW=1),
+    an optional matplotlib window mirrors each rendered frame and feeds
+    real key events to InteractivePolicy (render/window.py) — the
+    reference's pyglet-window behavior (rendering.py:46-64)."""
 
     def __init__(self, width: int = 700, height: int = 700):
         self.canvas = Canvas(width, height)
         self.geoms: list[Geom] = []
         self.onetime_geoms: list[Geom] = []
         self.isopen = True
+        from mpe_tpu.render import window as _window
+
+        self._window = _window.open_window(width, height)
 
     def set_bounds(self, left, right, bottom, top):
         self.canvas.set_bounds(left, right, bottom, top)
@@ -405,14 +415,20 @@ class Viewer:
             geom.draw(self.canvas)
         self.onetime_geoms = []
         arr = self.canvas.rgb_array()
+        if self._window is not None:
+            self._window.imshow(arr)
+            if not self._window.isopen:
+                self.isopen = False
         return arr if return_rgb_array else self.isopen
 
     def close(self):
         self.isopen = False
+        if self._window is not None:
+            self._window.close()
 
     @property
     def window(self):  # keyboard-policy hook point (policy.py:21-22)
-        return None
+        return self._window
 
 
 def _add_attrs(geom, attrs):

@@ -200,6 +200,36 @@ def main():
             record("fused_update", _time(updates_only_of(fupd), params,
                                          targets, opt_states, full))
 
+    # --- the production contest: chunk trainer (pre-gathered batches),
+    # XLA op-chain gradient vs the single-kernel analytic gradient ------
+    def chunk_updates_of(engine):
+        from mpe_tpu.learner.maddpg import build_fused_update_chunk
+
+        upd = build_fused_update_chunk(env, HORIZON, batch=BATCH,
+                                       grad_engine=engine)
+        opt = upd.init_opt(params)
+
+        @jax.jit
+        def run(p, t, o, buf):
+            def body(c, k):
+                p, t, o = c
+                p, t, o, m = upd(p, t, o, buf, k,
+                                 jnp.ones((HORIZON,), bool))
+                return (p, t, o), m["q"]
+            (_, _, _), qs = jax.lax.scan(
+                body, (p, t, o),
+                jax.random.split(jax.random.PRNGKey(5),
+                                 n_updates // HORIZON))
+            return qs[-1]
+
+        return run, opt
+
+    for engine in ("xla", "kernel"):
+        if want(f"chunk_update_{engine}"):
+            run, opt = chunk_updates_of(engine)
+            record(f"chunk_update_{engine}",
+                   _time(run, params, targets, opt, full))
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "maddpg_ablate_report.json"), "w") as fh:
         json.dump(report, fh, indent=1)

@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--load", required=True)
     ap.add_argument("--n-envs", type=int, default=512)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--tag", default=None,
+                    help="store under '<scenario>@<tag>' (variant runs)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -119,7 +121,9 @@ def main():
     if os.path.exists(out):
         with open(out) as fh:
             report = json.load(fh)
-    report[args.scenario] = entry
+    key = (args.scenario if args.tag is None
+           else f"{args.scenario}@{args.tag}")
+    report[key] = entry
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(f"report -> {out}")
