@@ -59,25 +59,36 @@ def eval_seed(scn, params, n_envs=512, seed=123):
         adv, good = pos[:, :, :N_ADV], pos[:, :, N_ADV:a]
         d = np.sqrt(((adv[:, :, :, None] - good[:, :, None]) ** 2
                      ).sum(-1))                          # [T, n, adv, good]
-        catches = (d < thr_catch).sum((-1, -2))          # [T, n]
+        caught = d < thr_catch                           # [T, n, adv, good]
+        catches = caught.sum((-1, -2))                   # [T, n]
         forest = pos[:, :, forest_rows]                  # [T, n, 2, 2]
         df = np.sqrt(((good[:, :, :, None] - forest[:, :, None]) ** 2
                       ).sum(-1))                         # [T, n, good, 2]
         thr_hide = size[N_ADV:a, None] + size[forest_rows][None, :]
-        hidden = (df < thr_hide).any(-1)   # is_collision w/ any forest
-        return float(catches.mean()), float(hidden.mean())
+        hidden = (df < thr_hide).any(-1)   # [T, n, good] in any forest
+        # the conditional instrument: the broadcast can only carry
+        # information the predators lack when a prey is forest-hidden,
+        # so measure catches OF HIDDEN PREY per hidden prey-step
+        hidden_catches = (caught.sum(2) * hidden).sum(-1)   # [T, n]
+        n_hidden = max(hidden.sum(), 1)
+        return (float(catches.mean()), float(hidden.mean()),
+                float(hidden_catches.sum() / n_hidden))
 
     rows = {}
     for tag, mask in (("live", None), ("blinded", _blind_mask(scn))):
         states, rew = greedy_state_rollout(scn, params, n_envs=n_envs,
                                            seed=seed, obs_mask=mask)
-        catch, hidden = metrics(states)
+        catch, hidden, catch_h = metrics(states)
         rows[tag] = {"catch_rate": round(catch, 4),
                      "prey_hidden_frac": round(hidden, 4),
+                     "hidden_prey_catch_rate": round(catch_h, 4),
                      "adv_reward": round(float(rew[..., :N_ADV].mean()), 4),
                      "prey_reward": round(float(rew[..., N_ADV:].mean()), 4)}
     rows["catch_delta_live_minus_blinded"] = round(
         rows["live"]["catch_rate"] - rows["blinded"]["catch_rate"], 4)
+    rows["hidden_catch_delta"] = round(
+        rows["live"]["hidden_prey_catch_rate"]
+        - rows["blinded"]["hidden_prey_catch_rate"], 4)
     return rows
 
 
@@ -95,6 +106,9 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.01)
     ap.add_argument("--eps", type=float, default=0.1)
     ap.add_argument("--tag", default="default")
+    ap.add_argument("--save-dir", default=None,
+                    help="save each seed's checkpoint as "
+                         "maddpg_world_comm_s<seed>.npz")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -110,6 +124,12 @@ def main():
         params, _ = run_fused_maddpg(
             "simple_world_comm", updates=args.updates, seed=seed,
             lr=args.lr, ent_coef=args.ent_coef, eps=args.eps)
+        if args.save_dir:
+            from mpe_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(
+                os.path.join(args.save_dir,
+                             f"maddpg_world_comm_s{seed}.npz"),
+                params, step=args.updates)
         row = {"seed": seed, **eval_seed(scn, params)}
         rows.append(row)
         print(json.dumps(row), flush=True)
