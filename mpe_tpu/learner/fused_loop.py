@@ -59,15 +59,18 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     base_key = jax.random.PRNGKey(seed + 7)
 
     def chunk_body(carry, i):
-        params, targets, opt_states, buffer = carry
-        buffer, mr = collect(params["actor"], buffer, 10_000 + i)
+        # the training state stays PACKED across every chunk of a block
+        # (kernel-layout stacked weights; see build_fused_update_chunk
+        # pack_state/packed_step) — only the actor is unpacked per chunk
+        # for the collection kernel
+        pstate, buffer = carry
+        buffer, mr = collect(update_chunk.actor_of(pstate), buffer,
+                             10_000 + i)
         k = jnp.arange(horizon)          # within-chunk update index
         gates = (i * horizon + k >= actor_start) & (k % 2 == 0)
-        params, targets, opt_states, m = update_chunk(
-            params, targets, opt_states, buffer,
-            jax.random.fold_in(base_key, i), gates)
-        return (params, targets, opt_states, buffer), (mr,
-                                                       m["critic_loss"])
+        pstate, m = update_chunk.packed_step(
+            pstate, buffer, jax.random.fold_in(base_key, i), gates)
+        return (pstate, buffer), (mr, m["critic_loss"])
 
     @partial(jax.jit, static_argnums=2)
     def run_block(carry, chunk0, n):
@@ -78,7 +81,8 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     for i in range(max(1, 200 // horizon)):
         buffer, _ = collect(params["actor"], buffer, i)
 
-    carry = (params, targets, opt_states, buffer)
+    carry = (update_chunk.pack_state(params, targets, opt_states),
+             buffer)
     done_chunks = 0
     while done_chunks < n_chunks:
         n = min(block, n_chunks - done_chunks)
@@ -86,7 +90,8 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
         done_chunks += n
         if progress is not None:
             progress(done_chunks, n_chunks, float(mr[-1]), float(cl[-1]))
-    params, targets, opt_states, buffer = carry
+    pstate, buffer = carry
+    params, targets, opt_states = update_chunk.unpack_state(pstate)
 
     info = {"scenario": scenario, "updates": n_updates, "n_envs": n_envs,
             "batch": batch, "tau": tau, "lr": lr, "seed": seed}

@@ -615,28 +615,16 @@ def build_fused_update_chunk(
 
     packed = hasattr(grads_fn, "run_packed")
 
-    @jax.jit
-    def update_chunk(params, targets, opt_states, buffer: Buffer, key,
-                     gates):
+    def _chunk_core(params, targets, opt_states, buffer: Buffer, key,
+                    gates):
+        """The update scan; with the kernel engine, params/targets/
+        opt_states are in PACKED weight space throughout."""
         keys = jax.vmap(lambda u: jax.random.fold_in(key, u))(
             jnp.arange(n_updates, dtype=jnp.uint32))
         idx = jax.vmap(lambda k: jax.random.randint(
             k, (batch,), 0, jnp.maximum(buffer.size, 1)))(keys)
         rows = buffer.data[idx.reshape(-1)].reshape(
             n_updates, batch, buffer.data.shape[1])
-
-        if packed:
-            # kernel engine: the whole scan runs in PACKED weight
-            # space (block-diagonal stacked operands). Packing costs
-            # ~16 us — as much as the gradient kernel itself — so it
-            # happens ONCE per chunk here instead of once per update;
-            # adam/polyak/gating are elementwise, so packed-space
-            # updates are bit-identical and the masked grads keep the
-            # zero padding exactly zero.
-            params = grads_fn.pack_params(params)
-            targets = grads_fn.pack_params(targets)
-            opt_states = _pack_opt_states(grads_fn.pack_params,
-                                          opt_states)
 
         def body(c, xs):
             p, t, o = c
@@ -656,15 +644,68 @@ def build_fused_update_chunk(
         (params, targets, opt_states), (cl, al, q) = jax.lax.scan(
             body, (params, targets, opt_states),
             (rows, jnp.asarray(gates)))
+        metrics = {"critic_loss": cl[-1], "actor_loss": al[-1],
+                   "q": q[-1]}
+        return params, targets, opt_states, metrics
+
+    @jax.jit
+    def update_chunk(params, targets, opt_states, buffer: Buffer, key,
+                     gates):
+        if packed:
+            # kernel engine: the whole scan runs in PACKED weight
+            # space (block-diagonal stacked operands). Packing costs
+            # ~16 us — as much as the gradient kernel itself — so it
+            # happens ONCE per chunk here instead of once per update
+            # (or once per RUN via the pack_state/packed_step API);
+            # adam/polyak/gating are elementwise, so packed-space
+            # updates are bit-identical and the masked grads keep the
+            # zero padding exactly zero.
+            params = grads_fn.pack_params(params)
+            targets = grads_fn.pack_params(targets)
+            opt_states = _pack_opt_states(grads_fn.pack_params,
+                                          opt_states)
+        params, targets, opt_states, metrics = _chunk_core(
+            params, targets, opt_states, buffer, key, gates)
         if packed:
             params = grads_fn.unpack_params(params)
             targets = grads_fn.unpack_params(targets)
             opt_states = _unpack_opt_states(grads_fn.unpack_params,
                                             opt_states)
-        metrics = {"critic_loss": cl[-1], "actor_loss": al[-1],
-                   "q": q[-1]}
         return params, targets, opt_states, metrics
 
+    # persistent-packed-state API: training loops that keep the state
+    # across MANY chunks (run_fused_maddpg, benches) pack once per run
+    # instead of once per chunk. No-ops (identity) on the xla engine.
+    def pack_state(params, targets, opt_states):
+        if not packed:
+            return (params, targets, opt_states)
+        return (grads_fn.pack_params(params),
+                grads_fn.pack_params(targets),
+                _pack_opt_states(grads_fn.pack_params, opt_states))
+
+    def unpack_state(pstate):
+        if not packed:
+            return pstate
+        p, t, o = pstate
+        return (grads_fn.unpack_params(p), grads_fn.unpack_params(t),
+                _unpack_opt_states(grads_fn.unpack_params, o))
+
+    def actor_of(pstate):
+        """Collector-layout actor params from a (possibly packed)
+        state — what build_fused_collect consumes."""
+        if not packed:
+            return pstate[0]["actor"]
+        return grads_fn.unpack_params(pstate[0])["actor"]
+
+    def packed_step(pstate, buffer: Buffer, key, gates):
+        p, t, o = pstate
+        p, t, o, metrics = _chunk_core(p, t, o, buffer, key, gates)
+        return (p, t, o), metrics
+
+    update_chunk.pack_state = pack_state
+    update_chunk.unpack_state = unpack_state
+    update_chunk.actor_of = actor_of
+    update_chunk.packed_step = packed_step
     update_chunk.n_updates = n_updates
     update_chunk.init_opt = lambda params: {
         "actor": actor_opt.init(params["actor"]),

@@ -126,7 +126,10 @@ def _random_batch(key, batch, a, obs_dim, mw, cw, dt):
 
 
 @pytest.mark.parametrize("name", ["simple_spread",
-                                  "simple_speaker_listener"])
+                                  "simple_speaker_listener",
+                                  "simple_reference",
+                                  "simple_tag",
+                                  "simple_world_comm"])
 def test_fused_maddpg_update_grads_match_jax_grad_f64(name):
     obs_dim, a, mw, cw = _dims(name)
     aw = mw + cw

@@ -66,7 +66,10 @@ def _random_batch(kscn, params, key, t, n):
 
 
 @pytest.mark.parametrize("name", ["simple_spread",
-                                  "simple_speaker_listener"])
+                                  "simple_speaker_listener",
+                                  "simple_reference",
+                                  "simple_tag",
+                                  "simple_world_comm"])
 def test_fused_update_grads_match_jax_grad(name):
     kscn = kernel_scenario(name)
     mw = 2 * kscn.spec.dim_p + 1
@@ -153,7 +156,10 @@ def _random_mappo_batch(kscn, params, key, t, n):
 
 
 @pytest.mark.parametrize("name", ["simple_spread",
-                                  "simple_speaker_listener"])
+                                  "simple_speaker_listener",
+                                  "simple_reference",
+                                  "simple_tag",
+                                  "simple_world_comm"])
 def test_fused_mappo_update_grads_match_jax_grad(name):
     from mpe_tpu.learner.ppo import init_mappo
     from mpe_tpu.ops.fused_update import fused_mappo_update

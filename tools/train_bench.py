@@ -167,8 +167,23 @@ def bench_maddpg(fused: bool, n_envs: int = MD_ENVS,
                                                 batch=1024)
         gates = jnp.ones((MD_HORIZON,), bool)
 
+        # persistent-packed carry wins at <=1024 envs (32.2 vs 31.0M,
+        # same-process A/B) but LOSES at 4096 (55 vs 60M) — some XLA
+        # layout/copy interaction between the packed while-loop carry
+        # and the 4x-larger replay buffer that per-phase isolation
+        # doesn't reproduce; use the measured-faster form per config
+        packed_carry = n_envs <= 1024
+
         @jax.jit
         def iteration(carry, i):
+            if packed_carry:
+                pstate, buffer = carry
+                buffer, mr = collect(update_chunk.actor_of(pstate),
+                                     buffer, i)
+                pstate, _ = update_chunk.packed_step(
+                    pstate, buffer,
+                    jax.random.fold_in(jax.random.PRNGKey(7), i), gates)
+                return (pstate, buffer), mr
             params, targets, opt_states, buffer = carry
             buffer, mr = collect(params["actor"], buffer, i)
             params, targets, opt_states, _ = update_chunk(
@@ -181,7 +196,9 @@ def bench_maddpg(fused: bool, n_envs: int = MD_ENVS,
             return jax.lax.scan(iteration, carry,
                                 jnp.arange(chunks, dtype=jnp.int32))
 
-        carry = (params, targets, opt_states, buffer)
+        carry = ((update_chunk.pack_state(params, targets, opt_states),
+                  buffer) if packed_carry
+                 else (params, targets, opt_states, buffer))
         c2, mrs = scanned(carry)          # compile
         _sync(mrs[-1])
         t0 = time.time()
