@@ -772,7 +772,6 @@ def build_fused_maddpg_dp(
     assert horizon, "env needs max_steps (the episode horizon)"
     updates_per_chunk = updates_per_chunk or horizon
     kscn = kernel_scenario(env.scenario)
-    from mpe_tpu.learner.fused_ppo import _agent_rewards
 
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0, (n_envs, n_dev)
@@ -794,7 +793,7 @@ def build_fused_maddpg_dp(
     traj = fused_maddpg_trajectory(
         kscn, tmpl, n_envs=local_envs, n_steps=horizon, horizon=horizon,
         eps_greedy=eps_greedy, block_envs=local_block, t_chunk=t_chunk,
-        interpret=interpret)
+        interpret=interpret, emit_rows=True)
     grads_fn = _make_grads_fn(env, grad_engine, batch=batch, gamma=gamma,
                               ent_coef=ent_coef, hidden=hidden,
                               block_b=min(1024, batch),
@@ -806,16 +805,10 @@ def build_fused_maddpg_dp(
     def local_iter(params, targets, opt_states, buffer: Buffer, seed,
                    gates):
         my = jax.lax.axis_index(axis_name)
-        obs, act, rew, obs2 = traj(seed, params["actor"],
-                                   my * jnp.int32(local_blocks))
-        rew_a = _agent_rewards(kscn, rew)
-
-        def rowize(x):
-            return jnp.moveaxis(x, -1, 1).reshape(rows_per_chunk, -1)
-
-        rows_all = jnp.concatenate(
-            [rowize(obs), rowize(act), rowize(rew_a), rowize(obs2)],
-            axis=1)
+        rows_3d = traj(seed, params["actor"],
+                       my * jnp.int32(local_blocks))   # [T, N, W] rows
+        rows_all = rows_3d.reshape(rows_per_chunk, -1)
+        rew_a = rows_3d[..., a * (obs_dim + aw) : a * (obs_dim + aw) + a]
         # chunk inserts stay ring-aligned -> contiguous fast path
         buffer = buffer._replace(
             data=jax.lax.dynamic_update_slice_in_dim(
@@ -922,7 +915,6 @@ def build_fused_collect(
     uniform one-hots, per-agent rewards, and the TRUE pre-reset next
     obs (bootstrap through the time limit). Episodes restart each chunk,
     so pass ``n_steps`` as a multiple of the env horizon."""
-    from mpe_tpu.learner.fused_ppo import _agent_rewards
     from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
     from mpe_tpu.ops.kernel_scenarios import kernel_scenario
 
@@ -942,21 +934,22 @@ def build_fused_collect(
     traj = fused_maddpg_trajectory(
         kscn, tmpl, n_envs=n_envs, n_steps=n_steps, horizon=horizon,
         eps_greedy=eps_greedy, block_envs=block_envs, t_chunk=t_chunk,
-        interpret=interpret)
+        interpret=interpret, emit_rows=True)
     rows_per_chunk = n_steps * n_envs
+    a = env.n_agents
 
     @jax.jit
     def collect_chunk(actor_params, buffer: Buffer, seed):
-        obs, act, rew, obs2 = traj(seed, actor_params)
-        rew_a = _agent_rewards(kscn, rew)                 # [T, A, N]
-
-        def rowize(x):                  # [T, ..., N] -> [T*N, flat]
-            return jnp.moveaxis(x, -1, 1).reshape(rows_per_chunk, -1)
-
+        # the kernel emits finished replay rows [T, N, W] (per-agent
+        # rewards included), so the old rowize relayout (moveaxis +
+        # reshape + concat over the whole chunk — ~2 ns/transition of
+        # pure HBM traffic) is gone; reshape is free
+        rows_3d = traj(seed, actor_params)
         cap = buffer.data.shape[0]
-        rows_all = jnp.concatenate(
-            [rowize(obs), rowize(act), rowize(rew_a), rowize(obs2)],
-            axis=1)                     # [T*N, W] fused buffer rows
+        rows_all = rows_3d.reshape(rows_per_chunk, -1)
+        # mean reward for metrics: the per-agent reward columns
+        rew_a = rows_3d[..., a * (buffer.obs_dim + buffer.act_dim)
+                        : a * (buffer.obs_dim + buffer.act_dim) + a]
 
         # Fast path: the chunk fits before the ring edge — ONE contiguous
         # dynamic_update_slice into the fused row table. Fallback (the

@@ -104,11 +104,21 @@ def _peragent_sample(kscn, w1, b1, w2, b2, w3, b3, obs, uniform, step,
 
 def _maddpg_traj_kernel(
     seed_ref, w1, b1, w2, b2, w3, b3,
-    obs_out, act_out, rew_out, obs2_out,
-    pos_s, vel_s, obs_s, t_s, *maybe_goal_s,
+    *outs_and_scratch,
     kscn, t_chunk: int, horizon: int, block_envs: int,
-    eps_greedy: float, interpret: bool,
+    eps_greedy: float, interpret: bool, emit_rows: bool = False,
 ):
+    if emit_rows:
+        # ONE replay-row output [t_chunk, N, W]: the kernel transposes
+        # each step's [W, N] column stack in VMEM, so the XLA-side
+        # rowize relayout (moveaxis+reshape+concat over the whole 85MB
+        # chunk at 4096 envs) disappears from the collect path
+        (rows_out, pos_s, vel_s, obs_s, t_s,
+         *maybe_goal_s) = outs_and_scratch
+        obs_out = act_out = rew_out = obs2_out = None
+    else:
+        (obs_out, act_out, rew_out, obs2_out, pos_s, vel_s, obs_s, t_s,
+         *maybe_goal_s) = outs_and_scratch
     spec = kscn.spec
     a, e, p = spec.n_agents, spec.n_entities, spec.dim_p
     n = block_envs
@@ -141,10 +151,21 @@ def _maddpg_traj_kernel(
         move = action[:, : 2 * p + 1]
         pos, vel = kscn.physics(pos, vel, move, prep=prep)
         rew, obs_next = kscn.reward_obs(pos, vel, comm, goal, prep=prep)
-        obs_out[pl.ds(step, 1)] = obs[None]
-        act_out[pl.ds(step, 1)] = action[None]
-        rew_out[pl.ds(step, 1)] = rew[None]
-        obs2_out[pl.ds(step, 1)] = obs_next[None]   # TRUE s' (pre-reset)
+        if emit_rows:
+            # per-agent rewards like learner.fused_ppo._agent_rewards
+            # (concat instead of broadcast_to — the [1,N]->[A,N]
+            # broadcast trips a Mosaic relayout, CLAUDE.md)
+            rew_a = (rew if rew.shape[0] == a
+                     else jnp.concatenate([rew] * a, axis=0))
+            cols = jnp.concatenate(
+                [obs.reshape(-1, n), action.reshape(-1, n), rew_a,
+                 obs_next.reshape(-1, n)], axis=0)          # [W, N]
+            rows_out[pl.ds(step, 1)] = jnp.transpose(cols)[None]
+        else:
+            obs_out[pl.ds(step, 1)] = obs[None]
+            act_out[pl.ds(step, 1)] = action[None]
+            rew_out[pl.ds(step, 1)] = rew[None]
+            obs2_out[pl.ds(step, 1)] = obs_next[None]   # TRUE s'
         t = t + 1
         done = t >= horizon
         pos_f, obs_f, goal_f = lane_fresh(step, vel)
@@ -179,6 +200,7 @@ def fused_maddpg_trajectory(
     t_chunk: int = 8,
     interpret: bool = False,
     hash_rng: bool = False,
+    emit_rows: bool = False,
 ):
     """Build ``run(seed, actor_params) -> (obs [T, A, OW, N],
     act [T, A, AW, N] one-hot f32, rew [T, R, N], obs2 [T, A, OW, N])``
@@ -188,7 +210,14 @@ def fused_maddpg_trajectory(
     width must be 5 + dim_c on comm scenarios —
     learner.maddpg.maddpg_act_dim). Lanes start at t=0 and reset every
     ``horizon`` steps, so collect in horizon-multiples for whole
-    episodes."""
+    episodes.
+
+    ``emit_rows=True`` returns ONE tensor of fused replay-buffer rows
+    [T, N, W] (W = A*(2*OW + AW + 1), layout [obs | act | rew_per_agent
+    | obs2] — exactly learner.maddpg.Buffer's row layout, with shared
+    rewards already broadcast per agent): the kernel transposes each
+    step block in VMEM, so ``reshape(T*N, W)`` is the finished insert
+    payload and the XLA-side rowize relayout disappears."""
     from mpe_tpu.ops.fused_rollout import pick_block_envs
     from mpe_tpu.ops.kernel_scenarios import KernelScenario, kernel_scenario
 
@@ -214,7 +243,7 @@ def fused_maddpg_trajectory(
     kernel = functools.partial(
         _maddpg_traj_kernel, kscn=kscn, t_chunk=t_chunk, horizon=horizon,
         block_envs=block_envs, eps_greedy=float(eps_greedy),
-        interpret=interpret or hash_rng)
+        interpret=interpret or hash_rng, emit_rows=emit_rows)
 
     scratch = [
         pltpu.VMEM((e, p, block_envs), jnp.float32),
@@ -224,22 +253,36 @@ def fused_maddpg_trajectory(
     ]
     if n_goals:
         scratch.append(pltpu.VMEM((n_goals, block_envs), jnp.int32))
-    out_specs = (
-        pl.BlockSpec((t_chunk, a, obs_w, block_envs),
-                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((t_chunk, a, aw, block_envs),
-                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((t_chunk, rr, block_envs),
-                     lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((t_chunk, a, obs_w, block_envs),
-                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, a, aw, n_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, rr, n_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
-    )
+    if emit_rows:
+        row_w = a * (2 * obs_w + aw + 1)
+        out_specs = (
+            pl.BlockSpec((t_chunk, block_envs, row_w),
+                         lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_steps, n_envs, row_w), jnp.float32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((t_chunk, a, obs_w, block_envs),
+                         lambda i, j: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, a, aw, block_envs),
+                         lambda i, j: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, rr, block_envs),
+                         lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, a, obs_w, block_envs),
+                         lambda i, j: (j, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, a, aw, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, rr, n_envs), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, a, obs_w, n_envs), jnp.float32),
+        )
 
     grid_spec = pl.GridSpec(
         grid=(n_blocks, n_chunks),
@@ -255,7 +298,8 @@ def fused_maddpg_trajectory(
     def run(seed, actor_params, block_offset=0):
         seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
                            jnp.asarray(block_offset, jnp.int32)])
-        return call(seeds, *_kernel_weights(actor_params))
+        out = call(seeds, *_kernel_weights(actor_params))
+        return out[0] if emit_rows else out
 
     run.n_blocks = n_blocks
     run.block_envs = block_envs

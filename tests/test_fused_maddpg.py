@@ -291,3 +291,33 @@ def test_collectors_critics_descend_comparably():
     # stream): last-50 floors within a factor of 3
     hi, lo = max(fx, ff), min(fx, ff)
     assert hi <= 3.0 * lo + 1e-3, (fx, ff)
+
+
+def test_fused_maddpg_rows_mode_matches_tensor_outputs():
+    """emit_rows=True must produce EXACTLY the Buffer row layout the
+    XLA-side rowize built from the 4-tensor outputs: row (t, n) =
+    [obs | act | rew per agent | obs2] flattened agent-major — same
+    draws, same values, one tensor."""
+    from mpe_tpu.learner.fused_ppo import _agent_rewards
+    from mpe_tpu.ops.fused_maddpg import fused_maddpg_trajectory
+
+    kscn, (obs, act, rew, obs2) = _traj(seed=5)
+    aw = 2 * kscn.spec.dim_p + 1      # spread: silent, move head only
+    params = init_maddpg(jax.random.PRNGKey(0), kscn.obs_w, aw,
+                         kscn.spec.n_agents, hidden=16)   # _traj's net
+    run_rows = fused_maddpg_trajectory(
+        kscn, params["actor"], n_envs=N, n_steps=T, horizon=HOR,
+        eps_greedy=0.1, block_envs=16, t_chunk=4, interpret=True,
+        emit_rows=True)
+    rows = np.asarray(run_rows(5, jax.tree.map(
+        lambda x: x.astype(jnp.float32), params["actor"])))
+    a = kscn.spec.n_agents
+    assert rows.shape == (T, N, a * (2 * kscn.obs_w + aw + 1))
+
+    rew_a = np.asarray(_agent_rewards(kscn, jnp.asarray(rew)))
+    want = np.concatenate([
+        np.moveaxis(obs, -1, 1).reshape(T, N, -1),
+        np.moveaxis(act, -1, 1).reshape(T, N, -1),
+        np.moveaxis(rew_a, -1, 1).reshape(T, N, -1),
+        np.moveaxis(obs2, -1, 1).reshape(T, N, -1)], axis=-1)
+    np.testing.assert_array_equal(rows, want)

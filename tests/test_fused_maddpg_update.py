@@ -314,3 +314,62 @@ def test_update_chunk_xla_engine_matches_update_fn_loop():
             np.testing.assert_allclose(
                 np.asarray(fg[path]), np.asarray(w), atol=1e-7,
                 rtol=1e-5, err_msg=f"{name}{path}")
+
+
+def test_persistent_packed_state_matches_update_chunk():
+    """The pack-once-per-run API (pack_state -> packed_step* ->
+    unpack_state; fused_loop.py's carry) must reproduce the per-chunk
+    update_chunk exactly: pack/unpack are exact inverses (values +
+    zeros only) and the packed-space scan is the same math. Also pins
+    actor_of == the unpacked actor params (what the collection kernel
+    consumes)."""
+    env = MpeEnv(scenarios.load("simple_spread"), max_steps=25,
+                 auto_reset=True)
+    obs_dim = env.scenario.obs_width
+    aw = maddpg_act_dim(env)
+    a = env.n_agents
+    mw = 2 * env.spec.dim_p + 1
+    batch, capacity, n_updates = 64, 512, 4
+
+    params = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a)
+    targets = jax.tree.map(lambda x: x, params)
+    chunk = build_fused_update_chunk(env, n_updates, batch=batch,
+                                     tau_polyak=0.03, block_b=64,
+                                     interpret=True,
+                                     grad_engine="kernel")
+    opt_states = chunk.init_opt(params)
+    f32 = jnp.float32
+    obs_b, act_b, rew_b, obs2_b = _random_batch(
+        jax.random.PRNGKey(3), capacity, a, obs_dim, mw, aw - mw, f32)
+    buffer = Buffer.pack(obs_b, act_b, rew_b, obs2_b,
+                         ptr=jnp.int32(0), size=jnp.int32(capacity))
+    gates = jnp.asarray([False, True, True, True])
+
+    # pack -> unpack roundtrip is exact
+    ps = chunk.pack_state(params, targets, opt_states)
+    rt = chunk.unpack_state(ps)
+    for got, want in zip(jax.tree.leaves(rt),
+                         jax.tree.leaves((params, targets, opt_states))):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(jax.tree.leaves(chunk.actor_of(ps)),
+                         jax.tree.leaves(params["actor"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # two packed chunks == two update_chunk calls
+    k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+    ps, m1p = chunk.packed_step(ps, buffer, k1, gates)
+    ps, m2p = chunk.packed_step(ps, buffer, k2, gates)
+    pu, tu, ou = params, targets, opt_states
+    pu, tu, ou, m1 = chunk(pu, tu, ou, buffer, k1, gates)
+    pu, tu, ou, m2 = chunk(pu, tu, ou, buffer, k2, gates)
+    got = chunk.unpack_state(ps)
+    for name, g, w in (("params", got[0], pu), ("targets", got[1], tu)):
+        fw = jax.tree.flatten_with_path(w)[0]
+        fg = dict(jax.tree.flatten_with_path(g)[0])
+        for path, want in fw:
+            np.testing.assert_allclose(
+                np.asarray(fg[path]), np.asarray(want), atol=1e-7,
+                rtol=1e-5, err_msg=f"{name}{path}")
+    for k in ("critic_loss", "actor_loss", "q"):
+        np.testing.assert_allclose(np.asarray(m2p[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

@@ -102,6 +102,13 @@ def main():
           lambda: fused_maddpg_trajectory(
               ksl, mdc["actor"], n_envs=ne, n_steps=min(ns, 50),
               horizon=25, block_envs=1024, t_chunk=5)(0, mdc["actor"]))
+    # rows mode (the collect path's in-kernel [W, N] -> [N, W]
+    # transpose lowering)
+    check("fused_maddpg_trajectory[rows, simple_spread]",
+          lambda: fused_maddpg_trajectory(
+              k, md["actor"], n_envs=ne, n_steps=min(ns, 50), horizon=25,
+              block_envs=1024, t_chunk=5,
+              emit_rows=True)(0, md["actor"]))
 
     # the in-kernel learner updates (full fused PPO / MAPPO iteration:
     # rollout kernel + update kernel + optax, on a comm scenario too so
