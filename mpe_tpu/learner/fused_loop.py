@@ -20,12 +20,21 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
                      batch: int = 1024, tau: float = 0.01,
                      lr: float = 1e-3, ent_coef: float = 0.01,
                      eps: float = 0.1, actor_start: int = 1000,
-                     block: int = 40, seed: int = 0, progress=None):
+                     block: int = 40, seed: int = 0, progress=None,
+                     actor_period=None):
     """Train MADDPG on ``scenario`` with the fully-fused loop.
 
     Returns ``(params, info)`` where ``info`` has the actual update
     count and the recipe. ``progress(done_chunks, n_chunks, mean_reward,
     critic_loss)`` is called once per scanned block.
+
+    ``actor_period`` (optional, one int per agent) makes the schedule
+    TWO-TIMESCALE: agent j's actor steps only on every ``period[j]``-th
+    actor-gated update (critic cadence unchanged). ``(1,) * A``
+    reproduces the default schedule exactly; e.g. ``(1, 1, 4)`` on
+    simple_crypto updates Alice (agent 2) 4x slower than Bob/Eve, so
+    Bob's decoder can track Alice's drifting codebook — the
+    coordination failure tools/crypto_study.py identified.
     """
     import jax
     import jax.numpy as jnp
@@ -68,6 +77,13 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
                              10_000 + i)
         k = jnp.arange(horizon)          # within-chunk update index
         gates = (i * horizon + k >= actor_start) & (k % 2 == 0)
+        if actor_period is not None:
+            # two-timescale: among actor-gated updates (global index
+            # g//2), agent j steps on every period[j]-th one
+            astep = (i * horizon + k) // 2
+            per = jnp.asarray(actor_period, jnp.int32)   # [A]
+            gates = gates[:, None] & (astep[:, None] % per[None, :]
+                                      == 0)              # [horizon, A]
         pstate, m = update_chunk.packed_step(
             pstate, buffer, jax.random.fold_in(base_key, i), gates)
         return (pstate, buffer), (mr, m["critic_loss"])
@@ -94,5 +110,7 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     params, targets, opt_states = update_chunk.unpack_state(pstate)
 
     info = {"scenario": scenario, "updates": n_updates, "n_envs": n_envs,
-            "batch": batch, "tau": tau, "lr": lr, "seed": seed}
+            "batch": batch, "tau": tau, "lr": lr, "seed": seed,
+            "actor_period": (None if actor_period is None
+                             else list(actor_period))}
     return params, info

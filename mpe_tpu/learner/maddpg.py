@@ -196,12 +196,24 @@ def init_buffer(capacity: int, n_agents: int, obs_dim: int, act_dim: int):
 
 
 def _apply_maddpg_update(params, targets, opt_states, grads, gate, *,
-                         actor_opt, critic_opt, tau_polyak):
+                         actor_opt, critic_opt, tau_polyak,
+                         gate_fields=None):
     """Shared tail of every MADDPG update variant (XLA update_fn, fused
     update, chunk, DP): adam on both nets, actor gating (critic warmup /
     actor delay), polyak target averaging. The actor loss never sees the
     post-update critic, so applying both updates here is equivalent to
-    the critic-first ordering."""
+    the critic-first ordering.
+
+    ``gate`` is either a scalar bool (all actors step or none — the
+    classic critic-warmup / actor-delay schedule) or a PER-AGENT bool
+    vector [A] (each agent's actor + its adam moments step only where
+    its gate is set — the two-timescale schedules of
+    tools/crypto_study.py). A uniform [A] vector is bit-identical to
+    the scalar (adam's shared ``count`` advances iff ANY agent steps).
+    ``gate_fields(gate [A]) -> actor-structured pytree`` expands the
+    vector to per-leaf boolean fields; the default reshapes over the
+    leading stacked-agent axis of the init_maddpg layout — PACKED
+    (block-diagonal) layouts must supply their own expansion."""
     cupd, copt = critic_opt.update(
         grads["critic"], opt_states["critic"], params["critic"])
     new_critic = optax.apply_updates(params["critic"], cupd)
@@ -209,11 +221,39 @@ def _apply_maddpg_update(params, targets, opt_states, grads, gate, *,
         grads["actor"], opt_states["actor"], params["actor"])
     new_actor = optax.apply_updates(params["actor"], aupd)
     gate = jnp.asarray(gate)
-    new_actor = jax.tree.map(
-        lambda n, o: jnp.where(gate, n, o), new_actor, params["actor"])
-    aopt = jax.tree.map(
-        lambda n, o: jnp.where(gate, n, o) if hasattr(n, "shape") else n,
-        aopt, opt_states["actor"])
+    if gate.ndim == 0:
+        new_actor = jax.tree.map(
+            lambda n, o: jnp.where(gate, n, o), new_actor,
+            params["actor"])
+        aopt = jax.tree.map(
+            lambda n, o: (jnp.where(gate, n, o) if hasattr(n, "shape")
+                          else n),
+            aopt, opt_states["actor"])
+    else:
+        if gate_fields is None:
+            fields = jax.tree.map(
+                lambda n: gate.reshape(
+                    (gate.shape[0],) + (1,) * (n.ndim - 1)),
+                params["actor"])
+        else:
+            fields = gate_fields(gate)
+        sel = lambda f, n, o: jnp.where(f, n, o)
+        new_actor = jax.tree.map(sel, fields, new_actor,
+                                 params["actor"])
+        # adam mu/nu mirror the actor-param structure leaf for leaf;
+        # the shared scalar count advances iff ANY agent stepped (== the
+        # scalar-gate behavior whenever the vector is uniform)
+        gate_any = jnp.any(gate)
+        gated_opt = []
+        for sn, so in zip(aopt, opt_states["actor"]):
+            if isinstance(sn, optax.ScaleByAdamState):
+                gated_opt.append(optax.ScaleByAdamState(
+                    count=jnp.where(gate_any, sn.count, so.count),
+                    mu=jax.tree.map(sel, fields, sn.mu, so.mu),
+                    nu=jax.tree.map(sel, fields, sn.nu, so.nu)))
+            else:
+                gated_opt.append(sn)
+        aopt = tuple(gated_opt)
     params = {"actor": new_actor, "critic": new_critic}
     targets = jax.tree.map(
         lambda t, p: (1 - tau_polyak) * t + tau_polyak * p, targets,
@@ -597,7 +637,11 @@ def build_fused_update_chunk(
     update_fn in a loop would — pinned by tests/test_fused_maddpg_update.
 
     ``gates`` is a bool [n_updates] vector of per-update ``do_actor``
-    flags (the critic-warmup / actor-delay schedule). ``grad_engine``
+    flags (the critic-warmup / actor-delay schedule) or a bool
+    [n_updates, A] matrix gating each AGENT's actor independently
+    (two-timescale schedules — e.g. a slow speaker whose codebook the
+    listener can track; see tools/crypto_study.py). A uniform row is
+    bit-identical to the scalar flag. ``grad_engine``
     picks the gradient implementation: "kernel" (ops/fused_maddpg_update
     run entirely in PACKED weight space across the chunk — the measured
     default: 22.2 vs 27.9 ns/transition for the XLA op-chain at
@@ -615,10 +659,35 @@ def build_fused_update_chunk(
 
     packed = hasattr(grads_fn, "run_packed")
 
+    gate_fields = None
+    if packed:
+        # Per-agent gate expansion for the PACKED (block-diagonal)
+        # layout: pack A indicator param-trees once at build time —
+        # agent j's mask is pack_params of a tree that is 1 on agent
+        # j's slices and 0 elsewhere, so block-diagonal padding packs
+        # to 0 and stays frozen (it is exactly zero and must remain
+        # so). gate [A] -> per-leaf bool fields via one tiny tensordot.
+        template = init_maddpg(jax.random.PRNGKey(0), obs_dim, aw,
+                               env.n_agents, hidden=hidden)
+        masks = []
+        for j in range(env.n_agents):
+            ind = jax.tree.map(
+                lambda x, _j=j: jnp.zeros_like(x).at[_j].set(1.0),
+                template)
+            masks.append(grads_fn.pack_params(ind)["actor"])
+        masks = jax.tree.map(lambda *ls: jnp.stack(ls), *masks)
+
+        def gate_fields(gate, _masks=masks):
+            g = gate.astype(jnp.float32)
+            return jax.tree.map(
+                lambda m: jnp.tensordot(g, m, axes=1) != 0, _masks)
+
     def _chunk_core(params, targets, opt_states, buffer: Buffer, key,
                     gates):
         """The update scan; with the kernel engine, params/targets/
-        opt_states are in PACKED weight space throughout."""
+        opt_states are in PACKED weight space throughout. ``gates`` is
+        [n_updates] (scalar do_actor per update) or [n_updates, A]
+        (per-agent two-timescale schedules)."""
         keys = jax.vmap(lambda u: jax.random.fold_in(key, u))(
             jnp.arange(n_updates, dtype=jnp.uint32))
         idx = jax.vmap(lambda k: jax.random.randint(
@@ -638,7 +707,8 @@ def build_fused_update_chunk(
                     p, t, obs_b, act_b, rew_b, obs2_b)
             p, t, o = _apply_maddpg_update(
                 p, t, o, grads, gate, actor_opt=actor_opt,
-                critic_opt=critic_opt, tau_polyak=tau_polyak)
+                critic_opt=critic_opt, tau_polyak=tau_polyak,
+                gate_fields=gate_fields if packed else None)
             return (p, t, o), (closs, aloss, qmean)
 
         (params, targets, opt_states), (cl, al, q) = jax.lax.scan(
@@ -881,6 +951,9 @@ def build_fused_maddpg_dp(
         params, targets, opt_states, buffer = state
         if gates is None:
             gates = jnp.ones((updates_per_chunk,), bool)
+        assert jnp.asarray(gates).ndim == 1, (
+            "the DP trainer takes scalar per-update gates; per-agent "
+            "[U, A] gates are a build_fused_update_chunk feature")
         params, targets, opt_states, buffer, metrics = step_impl(
             params, targets, opt_states, buffer,
             jnp.asarray(seed, jnp.int32), jnp.asarray(gates))

@@ -153,6 +153,12 @@ def main():
     ap.add_argument("--eps", type=float, default=0.1)
     ap.add_argument("--tag", default="default",
                     help="report section name for recipe variants")
+    ap.add_argument("--actor-period", default=None,
+                    help="comma-separated per-agent actor periods "
+                         "(eve,bob,alice), e.g. '1,1,4' to update "
+                         "Alice 4x slower than Bob/Eve (two-timescale "
+                         "schedule; default: all agents every "
+                         "actor-gated update)")
     ap.add_argument("--recompute", action="store_true",
                     help="re-derive the analytic best-response metrics "
                          "and covert flags for every stored section "
@@ -185,11 +191,14 @@ def main():
     from mpe_tpu.learner.fused_loop import run_fused_maddpg
 
     scn = scenarios.load("simple_crypto")
+    period = (None if args.actor_period is None else
+              tuple(int(p) for p in args.actor_period.split(",")))
     rows = []
     for seed in range(args.seeds):
         params, _ = run_fused_maddpg(
             "simple_crypto", updates=args.updates, seed=seed,
-            lr=args.lr, ent_coef=args.ent_coef, eps=args.eps)
+            lr=args.lr, ent_coef=args.ent_coef, eps=args.eps,
+            actor_period=period)
         row = {"seed": seed, **eval_seed(scn, params)}
         row["covert"] = (row["bob_err"] < 0.1
                          and row["eve_best_response_err"] >= 0.75)
@@ -202,7 +211,9 @@ def main():
             report = json.load(fh)
     report[args.tag] = {
         "updates": args.updates, "lr": args.lr,
-        "ent_coef": args.ent_coef, "eps": args.eps, "seeds": rows,
+        "ent_coef": args.ent_coef, "eps": args.eps,
+        "actor_period": (None if period is None else list(period)),
+        "seeds": rows,
         "n_covert": sum(r["covert"] for r in rows),
     }
     with open(out, "w") as fh:
