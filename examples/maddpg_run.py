@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.01)
     ap.add_argument("--eps", type=float, default=0.1)
     ap.add_argument("--actor-start", type=int, default=1000)
+    ap.add_argument("--actor-period", default=None,
+                    help="comma-separated per-agent actor periods for "
+                         "two-timescale schedules, e.g. '1,1,4' "
+                         "(default: every agent on every actor-gated "
+                         "update)")
     ap.add_argument("--block", type=int, default=40,
                     help="chunks per on-device scan block")
     ap.add_argument("--seed", type=int, default=0)
@@ -85,6 +90,9 @@ def main():
         horizon=args.horizon, batch=args.batch, tau=args.tau, lr=args.lr,
         ent_coef=args.ent_coef, eps=args.eps,
         actor_start=args.actor_start, block=args.block, seed=args.seed,
+        actor_period=(None if args.actor_period is None else
+                      tuple(int(p)
+                            for p in args.actor_period.split(","))),
         progress=progress)
 
     scn = scenarios.load(args.scenario)

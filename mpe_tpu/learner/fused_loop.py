@@ -21,7 +21,7 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
                      lr: float = 1e-3, ent_coef: float = 0.01,
                      eps: float = 0.1, actor_start: int = 1000,
                      block: int = 40, seed: int = 0, progress=None,
-                     actor_period=None):
+                     actor_period=None, init_params=None):
     """Train MADDPG on ``scenario`` with the fully-fused loop.
 
     Returns ``(params, info)`` where ``info`` has the actual update
@@ -35,6 +35,12 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     simple_crypto updates Alice (agent 2) 4x slower than Bob/Eve, so
     Bob's decoder can track Alice's drifting codebook — the
     coordination failure tools/crypto_study.py identified.
+
+    ``init_params`` (optional) starts training from the given
+    init_maddpg-structured pytree instead of a fresh init — e.g. a
+    saved checkpoint, or a hand-constructed equilibrium whose
+    stability under the learning dynamics is the question
+    (tools/crypto_stability.py).
     """
     import jax
     import jax.numpy as jnp
@@ -54,8 +60,11 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     n_chunks = max(1, updates // horizon)
     n_updates = n_chunks * horizon   # actual count (horizon multiple)
 
-    params = init_maddpg(jax.random.PRNGKey(seed), scn.obs_width, aw,
-                         env.n_agents)
+    params = (init_maddpg(jax.random.PRNGKey(seed), scn.obs_width, aw,
+                          env.n_agents)
+              if init_params is None else
+              jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           init_params))
     targets = jax.tree.map(lambda x: x, params)
     buffer = init_buffer(capacity, env.n_agents, scn.obs_width, aw)
     collect = build_fused_collect(

@@ -462,3 +462,29 @@ def test_per_agent_gates(engine):
 
 
 _PER_AGENT_RESULTS = {}
+
+
+def test_fused_loop_actor_period_wiring():
+    """run_fused_maddpg's ``actor_period`` schedule wiring: the trivial
+    period ``(1, 1, 1)`` expands the scalar schedule to a uniform
+    [horizon, A] matrix, which test_per_agent_gates pins bit-identical
+    to the scalar path — so the whole run must be bit-identical to
+    ``actor_period=None``; a heterogeneous period must diverge (tiny
+    CPU-interpret run, 1 chunk)."""
+    from mpe_tpu.learner.fused_loop import run_fused_maddpg
+
+    kw = dict(updates=25, n_envs=8, batch=32, block=1, actor_start=2,
+              seed=3)
+    base, _ = run_fused_maddpg("simple_spread", **kw)
+    unif, _ = run_fused_maddpg("simple_spread",
+                               actor_period=(1, 1, 1), **kw)
+    for got, want in zip(jax.tree.leaves(unif), jax.tree.leaves(base)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    het, _ = run_fused_maddpg("simple_spread", actor_period=(1, 1, 5),
+                              **kw)
+    assert any(
+        np.abs(np.asarray(g) - np.asarray(w)).max() > 0
+        for g, w in zip(jax.tree.leaves(het["actor"]),
+                        jax.tree.leaves(base["actor"]))), (
+        "heterogeneous actor_period produced the default schedule")
