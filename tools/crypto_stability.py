@@ -26,9 +26,17 @@ of a longer one — the horizons trace one trajectory per seed.
 
 Verdict per seed: "stable" = still covert (bob_err < 0.1, eve
 best-response err >= 0.75) at the longest horizon. Writes
-tools/crypto_stability_report.json.
+tools/crypto_stability_report.json (one section per --tag/--agents arm).
+
+A second arm (--agents alice) seeds only the SPEAKER's half of the
+cipher: Alice talks in XOR from step 0, Bob and Eve are random. If Bob
+learns the decoder and the pair locks in, a one-sided seed suffices to
+cross the plaintext->XOR ravine; --actor-period 1,1,8 additionally
+holds the seeded Alice nearly still while Bob learns.
 
     python tools/crypto_stability.py --seeds 3
+    python tools/crypto_stability.py --seeds 5 --agents alice \
+        --actor-period 1,1,8 --tag alice_slow
 """
 
 from __future__ import annotations
@@ -79,11 +87,13 @@ def xor_actor(obs_width, act_dim, hidden, mw, *, a_idx, b_idx, dtype):
     }
 
 
-def xor_equilibrium_params(scn, seed, hidden=64):
-    """Full init_maddpg tree for simple_crypto with alice/bob actors
-    replaced by the exact XOR cipher/decoder; eve's actor and ALL
-    critics keep their random init (the critics learn the equilibrium's
-    values during the standard warmup).
+def xor_equilibrium_params(scn, seed, hidden=64, agents=(ALICE, BOB)):
+    """Full init_maddpg tree for simple_crypto with the actors in
+    ``agents`` replaced by the exact XOR cipher/decoder; every other
+    actor and ALL critics keep their random init (the critics learn the
+    equilibrium's values during the standard warmup). ``agents=(ALICE,)``
+    seeds only the speaker's half of the cipher — the "can Bob learn to
+    decode a covert code that is already being spoken?" arm.
 
     Obs layout (scenarios/simple_crypto.py observation): alice sees
     [goal_color(4), key_color(4)] -> goal1 at col 1, key1 at col 5;
@@ -107,6 +117,7 @@ def xor_equilibrium_params(scn, seed, hidden=64):
         BOB: xor_actor(scn.obs_width, aw, hidden, mw,
                        a_idx=5, b_idx=1, dtype=dtype),
     }
+    crafted = {a: t for a, t in crafted.items() if a in agents}
     actor = params["actor"]
     for agent, tree in crafted.items():
         actor = jax.tree.map(
@@ -124,6 +135,18 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--ent-coef", type=float, default=0.01)
     ap.add_argument("--eps", type=float, default=0.1)
+    ap.add_argument("--agents", default="both",
+                    choices=["both", "alice"],
+                    help="which actors start at the crafted XOR "
+                         "equilibrium: 'both' (stability arm) or "
+                         "'alice' (speaker-only seeding — must Bob "
+                         "learn the decoder and lock the pair in?)")
+    ap.add_argument("--actor-period", default=None,
+                    help="per-agent actor periods (eve,bob,alice), "
+                         "e.g. '1,1,8' to hold the seeded Alice "
+                         "nearly still while Bob learns")
+    ap.add_argument("--tag", default=None,
+                    help="report section name (default: --agents)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -135,24 +158,31 @@ def main():
 
     scn = scenarios.load("simple_crypto")
     horizons = [int(h) for h in args.horizons.split(",")]
+    agents = {"both": (ALICE, BOB), "alice": (ALICE,)}[args.agents]
+    period = (None if args.actor_period is None else
+              tuple(int(p) for p in args.actor_period.split(",")))
+    tag = args.tag or args.agents
 
-    # sanity: the crafted equilibrium must evaluate covert UNTRAINED
-    p0 = xor_equilibrium_params(scn, seed=0)
+    # sanity: the crafted cipher must evaluate as intended UNTRAINED —
+    # fully covert with both halves seeded; with alice only, her
+    # codebook must still be the secure XOR (bob is random)
+    p0 = xor_equilibrium_params(scn, seed=0, agents=agents)
     r0 = eval_seed(scn, p0)
-    assert r0["bob_err"] < 0.01 and r0["bob_err_keyless"] > 0.9, r0
     assert r0["eve_best_response_err"] >= 1.0, r0
     assert r0["key_changes_msg_frac"] == 1.0, r0
-    print("crafted equilibrium (untrained):", json.dumps(r0), flush=True)
+    if BOB in agents:
+        assert r0["bob_err"] < 0.01 and r0["bob_err_keyless"] > 0.9, r0
+    print("crafted init (untrained):", json.dumps(r0), flush=True)
 
     rows = []
     for seed in range(args.seeds):
-        init = xor_equilibrium_params(scn, seed=seed)
+        init = xor_equilibrium_params(scn, seed=seed, agents=agents)
         traj = []
         for updates in horizons:
             params, _ = run_fused_maddpg(
                 "simple_crypto", updates=updates, seed=seed,
                 lr=args.lr, ent_coef=args.ent_coef, eps=args.eps,
-                init_params=init)
+                init_params=init, actor_period=period)
             r = {"updates": updates, **eval_seed(scn, params)}
             r["covert"] = (r["bob_err"] < 0.1
                            and r["eve_best_response_err"] >= 0.75)
@@ -163,10 +193,18 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "crypto_stability_report.json")
-    report = {
+    report = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            report = json.load(fh)
+        if "seeds" in report:    # migrate the single-section format
+            report = {"both": report}
+    report[tag] = {
         "recipe": {"lr": args.lr, "ent_coef": args.ent_coef,
                    "eps": args.eps, "horizons": horizons,
-                   "actor_start": 1000},
+                   "actor_start": 1000, "agents": args.agents,
+                   "actor_period": (None if period is None
+                                    else list(period))},
         "untrained_sanity": r0,
         "seeds": rows,
         "n_stable": sum(r["stable"] for r in rows),
