@@ -103,8 +103,11 @@ class GymnasiumMultiAgentEnv(*((gymnasium.Env,) if gymnasium else (object,))):
         if (isinstance(s, spaces.MultiDiscrete)
                 and act.ndim == 1 and len(act) == len(s.low)
                 and np.issubdtype(act.dtype, np.integer)):
+            # gymnasium-native MultiDiscrete samples are 0-based per
+            # segment (0..hi-lo), regardless of the reference-style
+            # low offset — index the one-hot directly
             return np.concatenate([
-                np.eye(hi - lo + 1, dtype=np.float32)[int(v) - lo]
+                np.eye(hi - lo + 1, dtype=np.float32)[int(v)]
                 for v, lo, hi in zip(act, s.low, s.high)])
         return act
 

@@ -87,9 +87,12 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
         k = jnp.arange(horizon)          # within-chunk update index
         gates = (i * horizon + k >= actor_start) & (k % 2 == 0)
         if actor_period is not None:
-            # two-timescale: among actor-gated updates (global index
-            # g//2), agent j steps on every period[j]-th one
-            astep = (i * horizon + k) // 2
+            # two-timescale: agent j steps on every period[j]-th
+            # actor-gated update. Gating is within-chunk parity
+            # (k % 2 == 0), so the gated-update ordinal is
+            # i*ceil(horizon/2) + k//2 — NOT (i*horizon+k)//2, which
+            # double-counts at odd-horizon chunk boundaries
+            astep = i * ((horizon + 1) // 2) + k // 2
             per = jnp.asarray(actor_period, jnp.int32)   # [A]
             gates = gates[:, None] & (astep[:, None] % per[None, :]
                                       == 0)              # [horizon, A]

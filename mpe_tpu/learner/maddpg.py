@@ -252,6 +252,12 @@ def _apply_maddpg_update(params, targets, opt_states, grads, gate, *,
                     mu=jax.tree.map(sel, fields, sn.mu, so.mu),
                     nu=jax.tree.map(sel, fields, sn.nu, so.nu)))
             else:
+                # any other stateful transform would advance for
+                # gated-off agents and silently break the
+                # uniform-vector == scalar invariant — reject it
+                assert not jax.tree.leaves(sn), (
+                    "per-agent gating only supports adam-style actor "
+                    f"optimizers; got stateful {type(sn).__name__}")
                 gated_opt.append(sn)
         aopt = tuple(gated_opt)
     params = {"actor": new_actor, "critic": new_critic}

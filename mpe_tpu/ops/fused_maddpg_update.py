@@ -198,9 +198,9 @@ def _maddpg_update_kernel(
     if "target" in ablate:          # timing ablation: zero targets
         y = rew_v
     else:
-        h = jnp.tanh(_dot(t1a[:], obs2_v, cd) + tb1a[:])   # [A*H, nb]
-        h = jnp.tanh(gmm(t2a, h) + tb2a[:])
-        z2 = _dot(t3a[:], h, cd) + tb3a[:]                 # [A*K, nb]
+        ht = jnp.tanh(_dot(t1a[:], obs2_v, cd) + tb1a[:])  # [A*H, nb]
+        ht = jnp.tanh(gmm(t2a, ht) + tb2a[:])
+        z2 = _dot(t3a[:], ht, cd) + tb3a[:]                # [A*K, nb]
         act2_rows = []
         for i in range(a):
             act2_rows.append(_argmax_onehot(z2[i * k : i * k + mw], at))

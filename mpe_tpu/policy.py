@@ -116,6 +116,14 @@ def _viewer_key_source(env, agent_index: int) -> "KeySource | None":
     window = getattr(viewer, "window", None)
     if window is None:
         return None
+    import os
+
+    # a non-interactive backend (Agg etc.) never delivers key events —
+    # fall back to stdin there, unless MPE_WINDOW=1 explicitly forces
+    # the window plumbing (how tests exercise it without a display)
+    if (not getattr(window, "interactive", False)
+            and os.environ.get("MPE_WINDOW") in (None, "0", "", "false")):
+        return None
     from mpe_tpu.render.window import WindowKeySource
 
     return WindowKeySource(window)

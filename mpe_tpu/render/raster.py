@@ -369,9 +369,21 @@ class Viewer:
         self.geoms: list[Geom] = []
         self.onetime_geoms: list[Geom] = []
         self.isopen = True
-        from mpe_tpu.render import window as _window
+        # the live window opens LAZILY — on the first human-mode render
+        # or when a key source asks for it — so pure rgb_array
+        # pipelines (GIF export, benchmark loops) never pop a window or
+        # pay per-frame canvas draws even when a display exists
+        self._window = None
+        self._window_tried = False
 
-        self._window = _window.open_window(width, height)
+    def _ensure_window(self):
+        if not self._window_tried:
+            self._window_tried = True
+            from mpe_tpu.render import window as _window
+
+            self._window = _window.open_window(self.canvas.width,
+                                               self.canvas.height)
+        return self._window
 
     def set_bounds(self, left, right, bottom, top):
         self.canvas.set_bounds(left, right, bottom, top)
@@ -415,9 +427,11 @@ class Viewer:
             geom.draw(self.canvas)
         self.onetime_geoms = []
         arr = self.canvas.rgb_array()
-        if self._window is not None:
-            self._window.imshow(arr)
-            if not self._window.isopen:
+        window = (self._window if return_rgb_array
+                  else self._ensure_window())
+        if window is not None:
+            window.imshow(arr)
+            if not window.isopen:
                 self.isopen = False
         return arr if return_rgb_array else self.isopen
 
@@ -428,7 +442,7 @@ class Viewer:
 
     @property
     def window(self):  # keyboard-policy hook point (policy.py:21-22)
-        return self._window
+        return self._ensure_window()
 
 
 def _add_attrs(geom, attrs):

@@ -375,15 +375,16 @@ def test_persistent_packed_state_matches_update_chunk():
                                    rtol=1e-5, atol=1e-7, err_msg=k)
 
 
-@pytest.mark.parametrize("engine", ["kernel", "xla"])
-def test_per_agent_gates(engine):
+def test_per_agent_gates():
     """Per-agent actor gating (the two-timescale schedules of
     tools/crypto_study.py): a UNIFORM [U, A] gate matrix must be
     bit-identical to the scalar [U] schedule, and with heterogeneous
     gates a gated-off agent's actor params AND adam moments stay
     exactly frozen while the others move — on both gradient engines
     (the kernel engine applies the gates in PACKED weight space via
-    block-diagonal agent masks), which must agree with each other."""
+    block-diagonal agent masks), which must agree with each other.
+    Both engines run inside this one test so the cross-engine pin
+    cannot be silently skipped by -k filtering or test sharding."""
     env = MpeEnv(scenarios.load("simple_spread"), max_steps=25,
                  auto_reset=True)
     obs_dim = env.scenario.obs_width
@@ -400,68 +401,67 @@ def test_per_agent_gates(engine):
         lambda x: x.astype(f64),
         init_maddpg(jax.random.PRNGKey(0), obs_dim, aw, a))
     targets = jax.tree.map(lambda x: x, params)
-    chunk = build_fused_update_chunk(env, n_updates, batch=batch,
-                                     tau_polyak=0.03, block_b=64,
-                                     interpret=True, grad_engine=engine,
-                                     compute_dtype=f64)
-    opt_states = chunk.init_opt(params)
     obs_b, act_b, rew_b, obs2_b = _random_batch(
         jax.random.PRNGKey(3), capacity, a, obs_dim, mw, aw - mw, f64)
     buffer = Buffer.pack(obs_b, act_b, rew_b, obs2_b,
                          ptr=jnp.int32(0), size=jnp.int32(capacity))
     key = jax.random.PRNGKey(21)
-
-    # (a) uniform matrix == scalar schedule, bitwise
     gates_s = jnp.asarray([False, True, False, True, True])
     gates_m = jnp.broadcast_to(gates_s[:, None], (n_updates, a))
-    out_s = chunk(params, targets, opt_states, buffer, key, gates_s)
-    out_m = chunk(params, targets, opt_states, buffer, key, gates_m)
-    for got, want in zip(jax.tree.leaves(out_m[:3]),
-                         jax.tree.leaves(out_s[:3])):
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    # (b) heterogeneous: agent 2's actor fully gated off stays frozen
-    # (params + adam mu/nu); agents 0/1 move; critic updates everywhere
     het = gates_m.at[:, 2].set(False)
-    ph, th, oh, _ = chunk(params, targets, opt_states, buffer, key, het)
-    for path, leaf in jax.tree.flatten_with_path(ph["actor"])[0]:
-        init = dict(jax.tree.flatten_with_path(
-            params["actor"])[0])[path]
-        np.testing.assert_array_equal(
-            np.asarray(leaf[2]), np.asarray(init[2]),
-            err_msg=f"frozen agent moved: {path}")
-        assert np.abs(np.asarray(leaf[:2])
-                      - np.asarray(init[:2])).max() > 0, (
-            f"live agents did not move: {path}")
-    adam_h = oh["actor"][0]
-    for tree in (adam_h.mu, adam_h.nu):
-        for leaf in jax.tree.leaves(tree):
+
+    results = {}
+    for engine in ("kernel", "xla"):
+        chunk = build_fused_update_chunk(
+            env, n_updates, batch=batch, tau_polyak=0.03, block_b=64,
+            interpret=True, grad_engine=engine, compute_dtype=f64)
+        opt_states = chunk.init_opt(params)
+
+        # (a) uniform matrix == scalar schedule, bitwise
+        out_s = chunk(params, targets, opt_states, buffer, key, gates_s)
+        out_m = chunk(params, targets, opt_states, buffer, key, gates_m)
+        for got, want in zip(jax.tree.leaves(out_m[:3]),
+                             jax.tree.leaves(out_s[:3])):
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+
+        # (b) heterogeneous: agent 2's actor fully gated off stays
+        # frozen (params + adam mu/nu); agents 0/1 move; critic
+        # updates everywhere
+        ph, th, oh, _ = chunk(params, targets, opt_states, buffer, key,
+                              het)
+        for path, leaf in jax.tree.flatten_with_path(ph["actor"])[0]:
+            init = dict(jax.tree.flatten_with_path(
+                params["actor"])[0])[path]
             np.testing.assert_array_equal(
-                np.asarray(leaf[2]), np.zeros_like(np.asarray(leaf[2])))
-    # critic moved for every agent
-    for leaf, init in zip(jax.tree.leaves(ph["critic"]),
-                          jax.tree.leaves(params["critic"])):
-        assert np.abs(np.asarray(leaf) - np.asarray(init)).min(
-            axis=None) >= 0  # shape sanity
-        assert np.abs(np.asarray(leaf) - np.asarray(init)).max() > 0
+                np.asarray(leaf[2]), np.asarray(init[2]),
+                err_msg=f"frozen agent moved ({engine}): {path}")
+            assert np.abs(np.asarray(leaf[:2])
+                          - np.asarray(init[:2])).max() > 0, (
+                f"live agents did not move ({engine}): {path}")
+        adam_h = oh["actor"][0]
+        for tree in (adam_h.mu, adam_h.nu):
+            for leaf in jax.tree.leaves(tree):
+                np.testing.assert_array_equal(
+                    np.asarray(leaf[2]),
+                    np.zeros_like(np.asarray(leaf[2])))
+        # critic moved for every agent
+        for leaf, init in zip(jax.tree.leaves(ph["critic"]),
+                              jax.tree.leaves(params["critic"])):
+            assert np.abs(np.asarray(leaf)
+                          - np.asarray(init)).max() > 0
+        results[engine] = (ph, th)
 
-    # cache for the cross-engine pin
-    _PER_AGENT_RESULTS[engine] = (ph, th)
-    if len(_PER_AGENT_RESULTS) == 2:
-        k_res, x_res = (_PER_AGENT_RESULTS["kernel"],
-                        _PER_AGENT_RESULTS["xla"])
-        # adam divides by sqrt(nu)+eps, so even f64 order-of-operations
-        # noise between the engines' gradient computations amplifies on
-        # near-zero-gradient elements (measured max 2.5e-7 after 5
-        # updates, deterministic for these seeds); a mis-gated agent
-        # would differ by ~lr x steps (~3e-3) on EVERY element, well
-        # above this envelope
-        for g, w in zip(jax.tree.leaves(k_res), jax.tree.leaves(x_res)):
-            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                       atol=1e-5, rtol=1e-4)
-
-
-_PER_AGENT_RESULTS = {}
+    # cross-engine pin. adam divides by sqrt(nu)+eps, so even f64
+    # order-of-operations noise between the engines' gradient
+    # computations amplifies on near-zero-gradient elements (measured
+    # max 2.5e-7 after 5 updates, deterministic for these seeds); a
+    # mis-gated agent would differ by ~lr x steps (~3e-3) on EVERY
+    # element, well above this envelope
+    for g, w in zip(jax.tree.leaves(results["kernel"]),
+                    jax.tree.leaves(results["xla"])):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_fused_loop_actor_period_wiring():

@@ -46,7 +46,6 @@ def adversary_metrics(states, n_agents):
     adversary, landmarks follow the agent block, goal = state.goal[0]."""
     pos = states.pos[-TAIL:]                   # [TAIL, n, E, 2]
     goal = states.goal[-TAIL:, :, 0]           # [TAIL, n]
-    n = pos.shape[1]
     lmk = pos[:, :, n_agents:]                 # [TAIL, n, L, 2]
     take = lambda idx: np.take_along_axis(
         lmk, idx[..., None, None].repeat(2, -1), axis=2)[:, :, 0]
@@ -69,7 +68,6 @@ def adversary_metrics(states, n_agents):
         out["good_cover_both_frac"] = float((near_goal & near_decoy).mean())
     else:
         out["good_goal_dist"] = float(d_goal[..., 1].mean())
-    del n
     return out
 
 
