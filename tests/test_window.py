@@ -41,6 +41,26 @@ def test_headless_default_no_window(monkeypatch):
     assert v.render(return_rgb_array=True).shape == (100, 100, 3)
 
 
+def test_rgb_array_render_does_not_open_window(forced_window):
+    """The window opens LAZILY: pure rgb_array pipelines (GIF export,
+    benchmark loops) never pop a window even when one is available;
+    the first human-mode render or key-source request does."""
+    from mpe_tpu.render.raster import Viewer
+
+    v = Viewer(100, 100)
+    assert v._window is None
+    v.render(return_rgb_array=True)
+    v.render(return_rgb_array=True)
+    assert v._window is None, "rgb_array render opened a window"
+    v.render(return_rgb_array=False)     # human path opens it
+    assert v._window is not None
+    v.close()
+
+    v2 = Viewer(100, 100)
+    assert v2.window is not None          # key-source hook opens it
+    v2.close()
+
+
 def test_viewer_opens_window_and_blits(forced_window):
     from mpe_tpu.render.raster import Viewer, make_circle
 
