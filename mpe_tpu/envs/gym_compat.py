@@ -133,7 +133,13 @@ def register_gymnasium(prefix: str = "mpe_tpu/",
                        max_episode_steps: int = 100) -> list[str]:
     """Register every scenario (plus the reference's two legacy ids)
     with gymnasium; returns the registered id list. Horizon default
-    matches the reference's registrations (multiagent/__init__.py:14)."""
+    matches the reference's registrations (multiagent/__init__.py:14).
+
+    Registered with ``disable_env_checker=True``: gymnasium's passive
+    checker expects a scalar reward, but this is a MULTI-agent env —
+    ``step`` deliberately returns the reference's per-agent reward
+    tuple (environment.py:80-104), which the single-agent checker
+    would warn about on every ``make``."""
     assert gymnasium is not None, "gymnasium is not installed"
     from mpe_tpu import scenarios
 
@@ -152,6 +158,7 @@ def register_gymnasium(prefix: str = "mpe_tpu/",
             id=full,
             entry_point="mpe_tpu.envs.gym_compat:GymnasiumMultiAgentEnv",
             max_episode_steps=max_episode_steps,
+            disable_env_checker=True,   # per-agent reward tuple (see doc)
             kwargs={"scenario": scenario})
         ids.append(full)
     return ids

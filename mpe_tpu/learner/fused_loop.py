@@ -28,13 +28,16 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     count and the recipe. ``progress(done_chunks, n_chunks, mean_reward,
     critic_loss)`` is called once per scanned block.
 
-    ``actor_period`` (optional, one int per agent) makes the schedule
-    TWO-TIMESCALE: agent j's actor steps only on every ``period[j]``-th
-    actor-gated update (critic cadence unchanged). ``(1,) * A``
-    reproduces the default schedule exactly; e.g. ``(1, 1, 4)`` on
-    simple_crypto updates Alice (agent 2) 4x slower than Bob/Eve, so
-    Bob's decoder can track Alice's drifting codebook — the
-    coordination failure tools/crypto_study.py identified.
+    ``actor_period`` (optional, one int >= 1 per agent) makes the
+    schedule TWO-TIMESCALE: agent j's actor steps only on every
+    ``period[j]``-th parity slot of the GLOBAL actor-gate schedule
+    (critic cadence unchanged; the slot ordinal counts k%2==0 slots
+    from update 0, so the warmup's slots are part of the phase).
+    ``(1,) * A`` reproduces the default schedule exactly; e.g.
+    ``(1, 1, 4)`` on simple_crypto updates Alice (agent 2) 4x slower
+    than Bob/Eve, so Bob's decoder can track Alice's drifting
+    codebook — the coordination failure tools/crypto_study.py
+    identified.
 
     ``init_params`` (optional) starts training from the given
     init_maddpg-structured pytree instead of a fresh init — e.g. a
@@ -55,6 +58,13 @@ def run_fused_maddpg(scenario: str, updates: int = 24_000,
     cpu = jax.default_backend() == "cpu"
     scn = scenarios.load(scenario)
     env = MpeEnv(scn, max_steps=horizon, auto_reset=True)
+    if actor_period is not None:
+        actor_period = tuple(int(p) for p in actor_period)
+        assert len(actor_period) == env.n_agents, (
+            f"actor_period needs one entry per agent "
+            f"({env.n_agents}), got {len(actor_period)}")
+        assert all(p >= 1 for p in actor_period), (
+            f"actor_period entries must be >= 1, got {actor_period}")
     aw = maddpg_act_dim(env)
     capacity = n_envs * 1600
     n_chunks = max(1, updates // horizon)

@@ -113,6 +113,9 @@ def _viewer_key_source(env, agent_index: int) -> "KeySource | None":
     if not viewers:
         return None
     viewer = viewers[agent_index if agent_index < len(viewers) else 0]
+    # peek before touching the opening `.window` property, so deciding
+    # to fall back to stdin doesn't strand a window we opened here
+    had_window = getattr(viewer, "_window", None) is not None
     window = getattr(viewer, "window", None)
     if window is None:
         return None
@@ -123,6 +126,13 @@ def _viewer_key_source(env, agent_index: int) -> "KeySource | None":
     # the window plumbing (how tests exercise it without a display)
     if (not getattr(window, "interactive", False)
             and os.environ.get("MPE_WINDOW") in (None, "0", "", "false")):
+        if not had_window:
+            # we opened it and nothing will use it — close and re-arm
+            # the viewer's lazy slot (a later human-mode render may
+            # still legitimately open one)
+            window.close()
+            viewer._window = None
+            viewer._window_tried = False
         return None
     from mpe_tpu.render.window import WindowKeySource
 
