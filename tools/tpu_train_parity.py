@@ -49,11 +49,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# the hard-shape matrix: spread (baseline), speaker_listener (comm,
+# ALL NINE scenario configs (r5; r4 ran the 5 hard-shape ones).
+# Shape families of note: spread (baseline), speaker_listener (comm,
 # heterogeneous obs), reference (dim_c=10 factored comm head), tag
 # (heterogeneous widths, 4 agents), world_comm (a*h=384 — the VMEM-guard
-# tall-stack path in ops/fused_maddpg_update)
-SCENARIOS = ("simple_spread", "simple_speaker_listener",
+# tall-stack path in ops/fused_maddpg_update), crypto (comm-only
+# factored heads — the masked-move M=1 Mosaic precision family that has
+# bitten twice, CLAUDE.md), simple (1 agent, no comm — the smallest
+# stack), adversary/push (competitive closure)
+SCENARIOS = ("simple", "simple_spread", "simple_adversary",
+             "simple_push", "simple_crypto", "simple_speaker_listener",
              "simple_reference", "simple_tag", "simple_world_comm")
 
 # vs-jax.grad budget: the CPU tests pin interpret==jax.grad at 1e-9 in
