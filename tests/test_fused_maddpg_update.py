@@ -488,3 +488,31 @@ def test_fused_loop_actor_period_wiring():
         for g, w in zip(jax.tree.leaves(het["actor"]),
                         jax.tree.leaves(base["actor"]))), (
         "heterogeneous actor_period produced the default schedule")
+
+
+def test_fused_runner_reuse_matches_wrapper():
+    """build_fused_maddpg_runner is the machinery under
+    run_fused_maddpg; a reused runner must reproduce the one-shot
+    wrapper bit-for-bit (same seed), stay deterministic across calls,
+    and diverge when the collection stream base changes — the
+    executable-reuse contract tools/crypto_pbt.py trains hundreds of
+    member-runs on."""
+    from mpe_tpu.learner.fused_loop import (build_fused_maddpg_runner,
+                                            run_fused_maddpg)
+
+    kw = dict(n_envs=8, batch=32, block=1)
+    runner = build_fused_maddpg_runner("simple_spread", **kw)
+    a1, _ = runner(25, seed=3, actor_start=2)
+    a2, _ = runner(25, seed=3, actor_start=2)        # reuse, same seed
+    w, _ = run_fused_maddpg("simple_spread", updates=25, seed=3,
+                            actor_start=2, **kw)
+    for got, ref in zip(jax.tree.leaves(a1), jax.tree.leaves(w)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    for got, ref in zip(jax.tree.leaves(a1), jax.tree.leaves(a2)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    b, _ = runner(25, seed=3, actor_start=2, collect_seed0=77_000)
+    assert any(
+        np.abs(np.asarray(g) - np.asarray(r)).max() > 0
+        for g, r in zip(jax.tree.leaves(b), jax.tree.leaves(a1))), (
+        "changing the collection stream base did not change training")
