@@ -3,20 +3,22 @@
 navigation — the flagship cooperative scenario).
 
 The README learner table's headline rows came from DIFFERENT budgets:
-MAPPO's -4.7 from 6000 on-policy iters x 256 envs x 25 steps = 38.4M
-environment transitions, MADDPG's -6.1/-6.3 from 24k updates x 64
-collection envs = 1.54M transitions (the r2-reference
-1-update-per-n_envs-transitions ratio). This study settles which
-algorithm actually wins on this engine by matching the budget BOTH
-ways, >=3 seeds each:
+MAPPO's from ~6000 on-policy iters x 256 envs x 32-step rollouts =
+49.2M environment transitions (the test_sharding.py recipe), MADDPG's
+from 24k updates x 64 collection envs = 1.54M transitions (the
+r2-reference 1-update-per-n_envs-transitions ratio). This study
+settles which algorithm actually wins on this engine by giving each
+its best-known recipe and matching the TRANSITION budget both ways,
+>=3 seeds each:
 
   - maddpg @1.54M  (the classic recipe: tau 0.01, batch 1024, lr 1e-3)
-  - maddpg @38.4M  (25x the data: 600k updates, same recipe; greedy-
-                    eval checkpoints at 24k/120k/600k updates per seed
+  - maddpg @49.2M  (32x the data: 768k updates, same recipe; greedy-
+                    eval checkpoints at 24k/120k/768k updates per seed
                     via the fused loop's exact-prefix property — the
                     saturation curve)
-  - mappo  @38.4M  (the classic recipe: 6000 iters, 256 envs, lr 3e-4)
-  - mappo  @1.54M  (240 iters, same recipe)
+  - mappo  @49.2M  (the best-known recipe: 6000 iters, 256 envs,
+                    32-step rollouts, lr 3e-4, 4 ppo epochs)
+  - mappo  @1.54M  (188 iters, same recipe)
 
 Metric: greedy (argmax) reward per agent-step, 128 envs x 25 steps
 (the README table's methodology). Writes
@@ -94,16 +96,17 @@ def build_greedy_eval(scn, algo: str, n_envs: int = 128,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--maddpg-horizons", default="24000,120000,600000",
+    ap.add_argument("--maddpg-horizons", default="24000,120000,768000",
                     help="update counts for the MADDPG saturation "
                          "curve (each an exact prefix of the next; "
-                         "the largest matches MAPPO's 38.4M-transition "
+                         "the largest matches MAPPO's 49.2M-transition "
                          "budget at 64 envs/update)")
-    ap.add_argument("--mappo-iters", default="240,6000",
-                    help="on-policy iteration counts (256 envs x 25 "
-                         "steps each; 240 matches MADDPG's 1.54M "
+    ap.add_argument("--mappo-iters", default="188,6000",
+                    help="on-policy iteration counts (256 envs x 32 "
+                         "steps each; 188 matches MADDPG's 1.54M "
                          "budget, 6000 is the classic recipe)")
     ap.add_argument("--mappo-envs", type=int, default=256)
+    ap.add_argument("--mappo-steps", type=int, default=32)
     ap.add_argument("--mappo-lr", type=float, default=3e-4)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -123,7 +126,7 @@ def main():
     scn = scenarios.load(SCENARIO)
     report = {"scenario": SCENARIO,
               "transitions_per_maddpg_update": 64,
-              "transitions_per_mappo_iter": args.mappo_envs * 25}
+              "transitions_per_mappo_iter": args.mappo_envs * args.mappo_steps}
 
     # ---- MADDPG arms (fused loop; exact-prefix saturation curve) ----
     ev_maddpg = build_greedy_eval(scn, "maddpg")
@@ -155,7 +158,8 @@ def main():
     mappo_rows = []
     for seed in range(args.seeds):
         step = build_mappo_step(env, mesh, n_envs=args.mappo_envs,
-                                n_steps=25, lr=args.mappo_lr,
+                                n_steps=args.mappo_steps,
+                                lr=args.mappo_lr,
                                 anneal_iters=iters_list[-1])
         params = init_mappo(jax.random.PRNGKey(seed), scn.obs_width,
                             2 * env.spec.dim_p + 1, env.n_agents)
@@ -168,13 +172,15 @@ def main():
                 g = float(ev_mappo(state[0], 123))
                 traj.append({
                     "iters": it + 1,
-                    "transitions": (it + 1) * args.mappo_envs * 25,
+                    "transitions": (it + 1) * args.mappo_envs
+                    * args.mappo_steps,
                     "greedy": round(g, 3)})
                 print(json.dumps({"algo": "mappo", "seed": seed,
                                   **traj[-1]}), flush=True)
         mappo_rows.append({"seed": seed, "curve": traj})
     report["mappo"] = {
-        "recipe": {"n_envs": args.mappo_envs, "n_steps": 25,
+        "recipe": {"n_envs": args.mappo_envs,
+                   "n_steps": args.mappo_steps,
                    "lr": args.mappo_lr, "ppo_epochs": 4},
         "seeds": mappo_rows,
     }
@@ -190,7 +196,7 @@ def main():
             "maddpg": mean_at(maddpg_rows, "updates", horizons[0]),
             "mappo": mean_at(mappo_rows, "iters", iters_list[0]),
         },
-        "budget_38.4M": {
+        "budget_49.2M": {
             "maddpg": mean_at(maddpg_rows, "updates", horizons[-1]),
             "mappo": mean_at(mappo_rows, "iters", iters_list[-1]),
         },
