@@ -15,6 +15,12 @@ from mpe_tpu.learner.pg import (
 from mpe_tpu.learner.es import build_es_step
 
 try:
+    from mpe_tpu.learner.approx_others import (
+        build_approx_runner, init_approx)
+    from mpe_tpu.learner.ensemble import (
+        build_ensemble_runner, init_ensemble)
+    from mpe_tpu.learner.fused_loop import (
+        build_fused_maddpg_runner, run_fused_maddpg)
     from mpe_tpu.learner.fused_ppo import (
         build_fused_mappo_step, build_fused_ppo_step)
     from mpe_tpu.learner.maddpg import (
@@ -39,6 +45,9 @@ except ModuleNotFoundError as _e:  # pragma: no cover - optax is in the image
 
     for _n in ("build_maddpg", "build_fused_collect", "build_fused_update",
                "build_fused_update_chunk", "build_fused_maddpg_dp",
+               "build_fused_maddpg_runner", "run_fused_maddpg",
+               "build_ensemble_runner", "init_ensemble",
+               "build_approx_runner", "init_approx",
                "init_buffer",
                "init_maddpg", "actor_logits",
                "build_mappo_step", "build_ppo_step", "central_value",
@@ -53,5 +62,8 @@ __all__ = ["init_policy", "policy_logits", "sample_actions", "build_train_step",
            "build_mappo_step", "init_mappo", "actor_logits", "central_value",
            "build_maddpg", "build_fused_collect", "build_fused_update",
            "build_fused_update_chunk", "build_fused_maddpg_dp",
+           "build_fused_maddpg_runner", "run_fused_maddpg",
+           "build_ensemble_runner", "init_ensemble",
+           "build_approx_runner", "init_approx",
            "init_maddpg", "init_buffer",
            "build_fused_ppo_step", "build_fused_mappo_step", "HAS_OPTAX"]

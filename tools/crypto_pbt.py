@@ -158,6 +158,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pop-seeds", type=int, default=3,
                     help="independent population runs")
+    ap.add_argument("--pop-seed-start", type=int, default=0,
+                    help="first population seed (all member seeds and "
+                         "perturbation draws derive from the ABSOLUTE "
+                         "population seed, so a single seed re-runs "
+                         "deterministically)")
+    ap.add_argument("--save-dir", default=None,
+                    help="save each covert finalist's full params to "
+                         "<save-dir>/crypto_pbt_<tag>_s<ps>_m<i>.npz")
     ap.add_argument("--pop", type=int, default=8, help="members")
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--r0-updates", type=int, default=4000)
@@ -176,7 +184,21 @@ def main():
     ap.add_argument("--p-reinit", type=float, default=0.34,
                     help="probability a clone re-draws Alice fresh "
                          "instead of Gaussian-perturbing her")
+    ap.add_argument("--grace", type=int, default=0,
+                    help="rounds a freshly-perturbed member is EXEMPT "
+                         "from replacement — the arm-1 history shows a "
+                         "sampled perfect cipher scoring fitness 0 and "
+                         "dying before its Bob could adapt; a grace "
+                         "period lets the member's own Bob/Eve reach "
+                         "the codebook's true value first (still pure "
+                         "game-reward fitness, no oracle)")
     ap.add_argument("--tag", default="default")
+    ap.add_argument("--census", type=int, default=0,
+                    help="instead of searching, sample N fresh "
+                         "random-init Alices and classify their greedy "
+                         "codebooks (constant / leaky / half-cipher / "
+                         "perfect) — the base-rate evidence behind the "
+                         "'re-draws are near-constant' mechanism claim")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -197,6 +219,34 @@ def main():
     dim_c = scn.spec.dim_c
     period = tuple(int(p) for p in args.actor_period.split(","))
     sigmas = [float(s) for s in args.sigmas.split(",")]
+
+    if args.census:
+        import jax as _jax
+        counts = {"constant": 0, "leaky": 0, "half": 0, "perfect": 0,
+                  "degenerate_secure": 0}
+        for n in range(args.census):
+            p = init_maddpg(_jax.random.PRNGKey(500_000 + n),
+                            scn.obs_width, aw, env.n_agents)
+            cb = alice_codebook_np(p["actor"], scn.obs_width, dim_c, mw)
+            bb, eb = best_response_errs(cb)
+            if len(set(cb.values())) == 1:
+                counts["constant"] += 1
+            elif eb >= 0.75:
+                counts["perfect" if bb == 0.0
+                       else "degenerate_secure"] += 1
+            elif eb == 0.5:
+                counts["half"] += 1
+            else:
+                counts["leaky"] += 1
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "crypto_pbt_report.json")
+        report = json.load(open(out)) if os.path.exists(out) else {}
+        report["fresh_init_codebook_census"] = {"n": args.census,
+                                                **counts}
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report["fresh_init_codebook_census"]))
+        return
 
     runner = build_fused_maddpg_runner(
         "simple_crypto", lr=args.lr, ent_coef=args.ent_coef,
@@ -225,7 +275,8 @@ def main():
 
     pop_rows = []
     any_covert_ever = False
-    for ps in range(args.pop_seeds):
+    for ps in range(args.pop_seed_start,
+                    args.pop_seed_start + args.pop_seeds):
         rng = np.random.default_rng(90_000 + ps)
         members = []
         for m in range(args.pop):
@@ -233,6 +284,7 @@ def main():
                 args.r0_updates, seed=ps * 1000 + m,
                 collect_seed0=10_000 + 1000 * (ps * args.pop + m))
             members.append(params)
+        age = [args.grace] * args.pop     # founders are judgeable
         history = []
         for rnd in range(args.rounds):
             stats = [member_stats(p) for p in members]
@@ -246,23 +298,29 @@ def main():
             print(json.dumps({"pop_seed": ps, **row}), flush=True)
 
             # selection + perturbation (skipped after the last round's
-            # stats — those are the final verdicts)
+            # stats — those are the final verdicts). Replacement
+            # targets: the worst members among those past their grace
+            # period; clone sources: the overall top half.
             half = args.pop // 2
             lineage = []
             new_members = list(members)
-            for j, loser in enumerate(order[half:]):
+            eligible = [int(m) for m in order[half:]
+                        if age[int(m)] >= args.grace]
+            for j, loser in enumerate(eligible):
                 src = int(order[j % half])
                 if rng.random() < args.p_reinit:
                     mode, sigma = "reinit", 0.0
                 else:
                     mode = "gauss"
                     sigma = float(rng.choice(sigmas))
-                new_members[int(loser)] = perturb_alice(
+                new_members[loser] = perturb_alice(
                     members[src], rng, mode, sigma, fresh_params)
-                lineage.append({"member": int(loser), "from": src,
+                age[loser] = -1            # ages to 0 below
+                lineage.append({"member": loser, "from": src,
                                 "op": mode, "sigma": sigma})
             history[-1]["lineage"] = lineage
             members = new_members
+            age = [x + 1 for x in age]
             for m in range(args.pop):
                 params, _ = runner(
                     args.round_updates, seed=ps * 1000 + 500 + m,
@@ -279,6 +337,14 @@ def main():
             if s["covert"]:
                 bk, _ = errs_fn(members[m]["actor"], key_mask, 123)
                 s["bob_err_keyless"] = round(float(bk), 4)
+                if args.save_dir:
+                    from mpe_tpu.utils.checkpoint import save_checkpoint
+                    path = os.path.join(
+                        args.save_dir,
+                        f"crypto_pbt_{args.tag}_s{ps}_m{m}.npz")
+                    save_checkpoint(path, members[m], step=0)
+                    s["checkpoint"] = path
+                    print(f"covert finalist -> {path}", flush=True)
         n_cov = sum(s["covert"] for s in final)
         any_covert_ever = any_covert_ever or n_cov > 0
         pop_rows.append({"pop_seed": ps, "final": final,
@@ -301,7 +367,8 @@ def main():
                    "round_actor_start": args.round_actor_start,
                    "lr": args.lr, "ent_coef": args.ent_coef,
                    "eps": args.eps, "actor_period": list(period),
-                   "sigmas": sigmas, "p_reinit": args.p_reinit},
+                   "sigmas": sigmas, "p_reinit": args.p_reinit,
+                   "grace": args.grace},
         "pop_seeds": pop_rows,
         "n_covert_final_total": sum(r["n_covert_final"]
                                     for r in pop_rows),
