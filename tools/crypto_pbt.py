@@ -193,6 +193,14 @@ def main():
                          "the codebook's true value first (still pure "
                          "game-reward fitness, no oracle)")
     ap.add_argument("--tag", default="default")
+    ap.add_argument("--harden", default=None,
+                    help="instead of searching, load a covert-finalist "
+                         "checkpoint and continue training it with the "
+                         "FULL gradient (no actor freezing/periods), "
+                         "evaluating at --harden-horizons — does a "
+                         "FOUND small-margin cipher survive the "
+                         "dynamics that erode it mid-search?")
+    ap.add_argument("--harden-horizons", default="2000,6000,12000,24000")
     ap.add_argument("--census", type=int, default=0,
                     help="instead of searching, sample N fresh "
                          "random-init Alices and classify their greedy "
@@ -219,6 +227,41 @@ def main():
     dim_c = scn.spec.dim_c
     period = tuple(int(p) for p in args.actor_period.split(","))
     sigmas = [float(s) for s in args.sigmas.split(",")]
+
+    if args.harden:
+        from crypto_study import eval_seed
+
+        from mpe_tpu.utils.checkpoint import load_checkpoint
+
+        like = {"state": init_maddpg(jax.random.PRNGKey(0),
+                                     scn.obs_width, aw, env.n_agents)}
+        init = load_checkpoint(args.harden, like)[0]["state"]
+        full = build_fused_maddpg_runner(
+            "simple_crypto", lr=args.lr, ent_coef=args.ent_coef,
+            eps=args.eps)             # NO actor_period: full gradient
+        traj = []
+        for updates in [int(h) for h in
+                        args.harden_horizons.split(",")]:
+            params, _ = full(updates, seed=0, init_params=init,
+                             actor_start=500)
+            row = {"updates": updates, **eval_seed(scn, params)}
+            row["covert"] = (row["bob_err"] < 0.1
+                             and row["eve_best_response_err"] >= 0.75)
+            traj.append(row)
+            print(json.dumps(row), flush=True)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "crypto_pbt_report.json")
+        report = json.load(open(out)) if os.path.exists(out) else {}
+        report[f"harden_{args.tag}"] = {
+            "checkpoint": args.harden,
+            "recipe": {"lr": args.lr, "ent_coef": args.ent_coef,
+                       "eps": args.eps, "actor_start": 500},
+            "trajectory": traj,
+            "still_covert": traj[-1]["covert"]}
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"report -> {out}")
+        return
 
     if args.census:
         import jax as _jax
