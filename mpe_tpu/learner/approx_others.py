@@ -32,11 +32,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from mpe_tpu.learner.maddpg import (Buffer, _joint, actor_logits_i,
-                                    critic_q_i, init_maddpg,
+from mpe_tpu.learner.maddpg import (Buffer, _apply_maddpg_update,
+                                    _joint, actor_logits_i, critic_q_i,
+                                    expected_q_actor_loss, init_maddpg,
                                     maddpg_act_dim)
 from mpe_tpu.learner._nets import dense_init as _dense
 
@@ -121,7 +121,7 @@ def approx_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
         # the loss honest about what the machinery needs
         off_diag = 1.0 - jnp.eye(a)[:, :, None]
         return ((ce - approx_ent * ent) * off_diag).sum() \
-            / (a * (a - 1) * batch)
+            / (a * max(a - 1, 1) * batch)
 
     ploss, pgrads = jax.value_and_grad(approx_loss_fn)(params["approx"])
 
@@ -151,49 +151,13 @@ def approx_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
     (closs, qmean), cgrads = jax.value_and_grad(
         critic_loss, has_aux=True)(params["critic"])
 
-    # ---- actor loss: identical to vanilla (expected-Q over the
-    # candidate grid with the others' BUFFER actions fixed) ----
-    n_cand = mw * max(cw, 1)
-    cand_np = np.zeros((n_cand, aw), np.float32)
-    for k in range(mw):
-        for j in range(max(cw, 1)):
-            c_idx = k * max(cw, 1) + j
-            cand_np[c_idx, k] = 1.0
-            if cw:
-                cand_np[c_idx, mw + j] = 1.0
-    cand = jnp.asarray(cand_np)
-
-    def actor_loss(actor_params):
-        logits = jax.vmap(
-            lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
-        probs_m = jax.nn.softmax(logits[..., :mw])
-        probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
-        total = 0.0
-        for i in range(a):
-            cp = jax.tree.map(lambda x: x[i], params["critic"])
-            mixed = jnp.broadcast_to(
-                act_b.astype(jnp.float32), (n_cand,) + act_b.shape)
-            mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
-            joint = jnp.concatenate(
-                [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
-                                  (n_cand, batch, a * obs_b.shape[-1])),
-                 mixed.reshape(n_cand, batch, -1)], axis=-1)
-            q_all = critic_q_i(cp, joint)
-            w = probs_m[:, i]
-            if cw:
-                w = (w[..., :, None] * probs_c[:, i][..., None, :]
-                     ).reshape(batch, n_cand)
-            exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T), axis=-1)
-            ent = -jnp.sum(probs_m[:, i]
-                           * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
-            if cw:
-                ent = ent - jnp.sum(
-                    probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
-                    axis=-1)
-            total = total - (exp_q + ent_coef * ent).mean()
-        return total / a
-
-    aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+    # actor loss: IDENTICAL to vanilla (expected-Q over the candidate
+    # grid with the others' buffer actions fixed) — the shared helper
+    # is what keeps the exact-reduction pin structural
+    aloss, agrads = jax.value_and_grad(
+        lambda ap: expected_q_actor_loss(
+            ap, params["critic"], obs_b, act_b, mw=mw, cw=cw,
+            ent_coef=ent_coef))(params["actor"])
     return ({"actor": agrads, "critic": cgrads, "approx": pgrads},
             (closs, aloss, ploss))
 
@@ -225,6 +189,9 @@ def build_approx_runner(
     scn = scenarios.load(scenario)
     env = MpeEnv(scn, max_steps=horizon, auto_reset=True)
     a = env.n_agents
+    assert a >= 2, (
+        f"{scenario} has {a} agent(s) — §4.2 models OTHER agents' "
+        f"policies; with no other agents the approx loss is vacuous")
     mw = 2 * env.spec.dim_p + 1
     aw = maddpg_act_dim(env)
     cw = aw - mw
@@ -246,21 +213,25 @@ def build_approx_runner(
         grads, (closs, aloss, ploss) = approx_xla_grads(
             params, targets, obs_b, act_b, rew_b, obs2_b,
             mw=mw, cw=cw, gamma=gamma, ent_coef=ent_coef)
-        new_p, new_o = {}, {}
-        for k in ("actor", "critic", "approx"):
-            upd, new_o[k] = opts[k].update(grads[k], opt_states[k],
-                                           params[k])
-            new_p[k] = optax.apply_updates(params[k], upd)
-        # actor gating (critic/approx warmup) — approx and critic
-        # always step; the actor (and its adam state) only when gated
-        new_p["actor"] = jax.tree.map(
-            lambda n, o: jnp.where(gate, n, o), new_p["actor"],
-            params["actor"])
-        new_o["actor"] = jax.tree.map(
-            lambda n, o: (jnp.where(gate, n, o) if hasattr(n, "shape")
-                          else n), new_o["actor"], opt_states["actor"])
-        targets = jax.tree.map(
-            lambda t, p: (1 - tau) * t + tau * p, targets, new_p)
+        # actor/critic tail (adam, actor gating, polyak) is the shared
+        # helper every MADDPG update variant uses; the approx nets get
+        # their own ungated adam step + polyak (they warm up with the
+        # critic)
+        ac_p, ac_t, ac_o = _apply_maddpg_update(
+            {k: params[k] for k in ("actor", "critic")},
+            {k: targets[k] for k in ("actor", "critic")},
+            {k: opt_states[k] for k in ("actor", "critic")},
+            {k: grads[k] for k in ("actor", "critic")}, gate,
+            actor_opt=opts["actor"], critic_opt=opts["critic"],
+            tau_polyak=tau)
+        pupd, p_opt = opts["approx"].update(
+            grads["approx"], opt_states["approx"], params["approx"])
+        new_approx = optax.apply_updates(params["approx"], pupd)
+        new_p = {**ac_p, "approx": new_approx}
+        targets = {**ac_t, "approx": jax.tree.map(
+            lambda t, p: (1 - tau) * t + tau * p, targets["approx"],
+            new_approx)}
+        new_o = {**ac_o, "approx": p_opt}
         return (new_p, targets, new_o), closs
 
     def chunk_body(carry, i):

@@ -410,6 +410,68 @@ def _joint(obs_b, act_b):
          act_b.reshape(act_b.shape[0], -1)], axis=-1)
 
 
+def _candidate_table(mw: int, cw: int, aw: int):
+    """Static candidate table: every joint (move[, comm]) one-hot an
+    agent can emit — [C, aw], C = mw (* cw on comm scenarios). Shared
+    by every expected-Q actor objective (vanilla / §4.2 approx /
+    §4.3 ensemble)."""
+    n_cand = mw * max(cw, 1)
+    cand_np = np.zeros((n_cand, aw), np.float32)
+    for k in range(mw):
+        for j in range(max(cw, 1)):
+            c_idx = k * max(cw, 1) + j
+            cand_np[c_idx, k] = 1.0
+            if cw:
+                cand_np[c_idx, mw + j] = 1.0
+    return jnp.asarray(cand_np)
+
+
+def expected_q_actor_loss(actor_params, critic_params, obs_b, act_b, *,
+                          mw: int, cw: int, ent_coef: float):
+    """The exact expected-Q actor objective (shared by the vanilla and
+    §4.2-approx gradients; the ops/fused_maddpg_update kernel is pinned
+    to ``jax.grad`` of THIS loss): each agent maximizes the exact
+    expectation of its critic over its own (small, discrete) action set
+    under its softmax policy — the joint (move, comm) grid on comm
+    scenarios — with the other agents' buffer actions fixed: a
+    deterministic gradient (no Gumbel straight-through noise), plus a
+    small entropy bonus against premature collapse. All C candidates
+    are scored in ONE batched critic eval per agent ([C*B] rows)
+    instead of C separate forward passes."""
+    batch, a, aw = act_b.shape
+    cand = _candidate_table(mw, cw, aw)
+    n_cand = cand.shape[0]
+    logits = jax.vmap(
+        lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
+    probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
+    probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
+    total = 0.0
+    for i in range(a):
+        cp = jax.tree.map(lambda x: x[i], critic_params)
+        mixed = jnp.broadcast_to(
+            act_b.astype(jnp.float32),
+            (n_cand,) + act_b.shape)                # [C, B, A, aw]
+        mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
+        joint = jnp.concatenate(
+            [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
+                              (n_cand, batch, a * obs_b.shape[-1])),
+             mixed.reshape(n_cand, batch, -1)], axis=-1)
+        q_all = critic_q_i(cp, joint)               # [C, B]
+        w = probs_m[:, i]                           # [B, mw]
+        if cw:
+            w = (w[..., :, None] * probs_c[:, i][..., None, :]
+                 ).reshape(batch, n_cand)
+        exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T), axis=-1)
+        ent = -jnp.sum(probs_m[:, i]
+                       * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
+        if cw:
+            ent = ent - jnp.sum(
+                probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
+                axis=-1)
+        total = total - (exp_q + ent_coef * ent).mean()
+    return total / a
+
+
 def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
                      mw: int, cw: int, gamma: float, ent_coef: float):
     """The XLA op-chain MADDPG gradient on a sampled batch: target
@@ -448,59 +510,10 @@ def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
     (closs, qmean), cgrads = jax.value_and_grad(
         critic_loss, has_aux=True)(params["critic"])
 
-    # static candidate table: every joint (move[, comm]) one-hot an
-    # agent can emit — [C, aw], C = mw (* cw on comm scenarios)
-    n_cand = mw * max(cw, 1)
-    cand_np = np.zeros((n_cand, aw), np.float32)
-    for k in range(mw):
-        for j in range(max(cw, 1)):
-            c_idx = k * max(cw, 1) + j
-            cand_np[c_idx, k] = 1.0
-            if cw:
-                cand_np[c_idx, mw + j] = 1.0
-    cand = jnp.asarray(cand_np)
-
-    def actor_loss(actor_params):
-        # each agent maximizes the EXACT expectation of its critic
-        # over its own (small, discrete) action set under its softmax
-        # policy — the joint (move, comm) grid on comm scenarios —
-        # with the other agents' buffer actions fixed: a
-        # deterministic gradient (no Gumbel straight-through noise),
-        # plus a small entropy bonus against premature collapse.
-        # All C candidates are scored in ONE batched critic eval per
-        # agent ([C*B] rows) instead of C separate forward passes.
-        logits = jax.vmap(
-            lambda o: jax.vmap(actor_logits_i)(actor_params, o))(obs_b)
-        probs_m = jax.nn.softmax(logits[..., :mw])      # [B, A, mw]
-        probs_c = jax.nn.softmax(logits[..., mw:]) if cw else None
-        total = 0.0
-        for i in range(a):
-            cp = jax.tree.map(lambda x: x[i], params["critic"])
-            mixed = jnp.broadcast_to(
-                act_b.astype(jnp.float32),
-                (n_cand,) + act_b.shape)                # [C, B, A, aw]
-            mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
-            joint = jnp.concatenate(
-                [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
-                                  (n_cand, batch, a * obs_b.shape[-1])),
-                 mixed.reshape(n_cand, batch, -1)], axis=-1)
-            q_all = critic_q_i(cp, joint)               # [C, B]
-            w = probs_m[:, i]                           # [B, mw]
-            if cw:
-                w = (w[..., :, None] * probs_c[:, i][..., None, :]
-                     ).reshape(batch, n_cand)
-            exp_q = jnp.sum(w * jax.lax.stop_gradient(q_all.T),
-                            axis=-1)
-            ent = -jnp.sum(probs_m[:, i]
-                           * jnp.log(probs_m[:, i] + 1e-10), axis=-1)
-            if cw:
-                ent = ent - jnp.sum(
-                    probs_c[:, i] * jnp.log(probs_c[:, i] + 1e-10),
-                    axis=-1)
-            total = total - (exp_q + ent_coef * ent).mean()
-        return total / a
-
-    aloss, agrads = jax.value_and_grad(actor_loss)(params["actor"])
+    aloss, agrads = jax.value_and_grad(
+        lambda ap: expected_q_actor_loss(
+            ap, params["critic"], obs_b, act_b, mw=mw, cw=cw,
+            ent_coef=ent_coef))(params["actor"])
     return ({"actor": agrads, "critic": cgrads}, (closs, aloss, qmean))
 
 

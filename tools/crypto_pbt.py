@@ -227,6 +227,7 @@ def main():
     dim_c = scn.spec.dim_c
     period = tuple(int(p) for p in args.actor_period.split(","))
     sigmas = [float(s) for s in args.sigmas.split(",")]
+    assert args.pop >= 2, "selection needs a population of at least 2"
 
     if args.harden:
         from crypto_study import eval_seed
