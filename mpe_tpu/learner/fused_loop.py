@@ -26,7 +26,8 @@ def build_fused_maddpg_runner(scenario: str, n_envs: int = 64,
                               horizon: int = 25, batch: int = 1024,
                               tau: float = 0.01, lr: float = 1e-3,
                               ent_coef: float = 0.01, eps: float = 0.1,
-                              block: int = 40, actor_period=None):
+                              block: int = 40, actor_period=None,
+                              local_critic: bool = False):
     """Build the fused-MADDPG training machinery for ``scenario`` once;
     -> ``run(updates, seed, init_params=None, actor_start=1000,
     collect_seed0=10_000, progress=None) -> (params, info)``.
@@ -49,6 +50,11 @@ def build_fused_maddpg_runner(scenario: str, n_envs: int = 64,
     than Bob/Eve, so Bob's decoder can track Alice's drifting
     codebook — the coordination failure tools/crypto_study.py
     identified.
+
+    ``local_critic=True`` trains INDEPENDENT DDPG instead: identical
+    collection/schedule, but each critic sees only its own
+    (obs_i, act_i) — the paper's decentralized baseline (XLA gradient
+    engine; the Pallas update kernel is centralized-critic only).
     """
     import jax
     import jax.numpy as jnp
@@ -78,7 +84,9 @@ def build_fused_maddpg_runner(scenario: str, n_envs: int = 64,
         block_envs=min(1024, n_envs), eps_greedy=eps, interpret=cpu)
     update_chunk = build_fused_update_chunk(
         env, horizon, batch=batch, tau_polyak=tau,
-        actor_lr=lr, critic_lr=lr, ent_coef=ent_coef, interpret=cpu)
+        actor_lr=lr, critic_lr=lr, ent_coef=ent_coef, interpret=cpu,
+        grad_engine="xla" if local_critic else "kernel",
+        local_critic=local_critic)
 
     def chunk_body(carry, i):
         # the training state stays PACKED across every chunk of a block
@@ -116,7 +124,8 @@ def build_fused_maddpg_runner(scenario: str, n_envs: int = 64,
         n_chunks = max(1, updates // horizon)
         n_updates = n_chunks * horizon   # actual count (horizon mult.)
         params = (init_maddpg(jax.random.PRNGKey(seed), scn.obs_width,
-                              aw, env.n_agents)
+                              aw, env.n_agents,
+                              local_critic=local_critic)
                   if init_params is None else
                   jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
                                init_params))

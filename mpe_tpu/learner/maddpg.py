@@ -46,9 +46,14 @@ def _mlp(params, x, out_key):
 
 
 def init_maddpg(key, obs_dim: int, act_dim: int, n_agents: int,
-                hidden: int = 64):
+                hidden: int = 64, local_critic: bool = False):
     """Stacked per-agent actors and critics: every leaf has a leading
-    [A] axis (vmapped per-agent networks)."""
+    [A] axis (vmapped per-agent networks). ``local_critic=True`` gives
+    each critic ONLY its own (obs_i, act_i) — independent DDPG, the
+    decentralized baseline the MADDPG paper compares against."""
+    cin = (obs_dim + act_dim if local_critic
+           else n_agents * (obs_dim + act_dim))
+
     def one_agent(k):
         ka1, ka2, ka3, kc1, kc2, kc3 = jax.random.split(k, 6)
         return {
@@ -59,7 +64,7 @@ def init_maddpg(key, obs_dim: int, act_dim: int, n_agents: int,
                               scale=jnp.asarray(0.01, jnp.float32)),
             },
             "critic": {
-                "l1": _dense(kc1, n_agents * (obs_dim + act_dim), hidden),
+                "l1": _dense(kc1, cin, hidden),
                 "l2": _dense(kc2, hidden, hidden),
                 "out": _dense(kc3, hidden, 1),
             },
@@ -427,7 +432,8 @@ def _candidate_table(mw: int, cw: int, aw: int):
 
 
 def expected_q_actor_loss(actor_params, critic_params, obs_b, act_b, *,
-                          mw: int, cw: int, ent_coef: float):
+                          mw: int, cw: int, ent_coef: float,
+                          local_critic: bool = False):
     """The exact expected-Q actor objective (shared by the vanilla and
     §4.2-approx gradients; the ops/fused_maddpg_update kernel is pinned
     to ``jax.grad`` of THIS loss): each agent maximizes the exact
@@ -437,7 +443,9 @@ def expected_q_actor_loss(actor_params, critic_params, obs_b, act_b, *,
     deterministic gradient (no Gumbel straight-through noise), plus a
     small entropy bonus against premature collapse. All C candidates
     are scored in ONE batched critic eval per agent ([C*B] rows)
-    instead of C separate forward passes."""
+    instead of C separate forward passes. ``local_critic`` scores the
+    candidates with the agent's OWN-(obs, act) critic instead of the
+    centralized one (independent DDPG)."""
     batch, a, aw = act_b.shape
     cand = _candidate_table(mw, cw, aw)
     n_cand = cand.shape[0]
@@ -448,14 +456,22 @@ def expected_q_actor_loss(actor_params, critic_params, obs_b, act_b, *,
     total = 0.0
     for i in range(a):
         cp = jax.tree.map(lambda x: x[i], critic_params)
-        mixed = jnp.broadcast_to(
-            act_b.astype(jnp.float32),
-            (n_cand,) + act_b.shape)                # [C, B, A, aw]
-        mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
-        joint = jnp.concatenate(
-            [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
-                              (n_cand, batch, a * obs_b.shape[-1])),
-             mixed.reshape(n_cand, batch, -1)], axis=-1)
+        if local_critic:
+            joint = jnp.concatenate(
+                [jnp.broadcast_to(obs_b[:, i],
+                                  (n_cand, batch, obs_b.shape[-1])),
+                 jnp.broadcast_to(cand[:, None, :],
+                                  (n_cand, batch, aw))], axis=-1)
+        else:
+            mixed = jnp.broadcast_to(
+                act_b.astype(jnp.float32),
+                (n_cand,) + act_b.shape)            # [C, B, A, aw]
+            mixed = mixed.at[:, :, i, :].set(cand[:, None, :])
+            joint = jnp.concatenate(
+                [jnp.broadcast_to(obs_b.reshape(1, batch, -1),
+                                  (n_cand, batch,
+                                   a * obs_b.shape[-1])),
+                 mixed.reshape(n_cand, batch, -1)], axis=-1)
         q_all = critic_q_i(cp, joint)               # [C, B]
         w = probs_m[:, i]                           # [B, mw]
         if cw:
@@ -473,7 +489,8 @@ def expected_q_actor_loss(actor_params, critic_params, obs_b, act_b, *,
 
 
 def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
-                     mw: int, cw: int, gamma: float, ent_coef: float):
+                     mw: int, cw: int, gamma: float, ent_coef: float,
+                     local_critic: bool = False):
     """The XLA op-chain MADDPG gradient on a sampled batch: target
     actions -> TD targets -> critic ``value_and_grad`` -> exact
     expected-Q actor objective over the (move x comm) candidate grid.
@@ -482,7 +499,13 @@ def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
     this chain within ~20% of the hand-written kernel at batch-1024
     spread shapes (tools/maddpg_ablate.py), so the chunk/DP trainers
     accept either engine. Returns
-    ``(grads, (critic_loss, actor_loss, q_mean))``."""
+    ``(grads, (critic_loss, actor_loss, q_mean))``.
+
+    ``local_critic=True`` is INDEPENDENT DDPG — each critic sees only
+    its own (obs_i, act_i), the decentralized baseline of the MADDPG
+    paper's central comparison (tools/ddpg_vs_maddpg.py). With ONE
+    agent the two are bit-identical (pinned by
+    tests/test_ddpg_baseline.py)."""
     batch, a, aw = act_b.shape
 
     # target actions from target actors (deterministic per-head
@@ -495,16 +518,27 @@ def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
         act2 = jnp.concatenate(
             [act2, jax.nn.one_hot(jnp.argmax(tgt_logits[..., mw:], -1),
                                   cw, dtype=jnp.float32)], axis=-1)
-    joint2 = _joint(obs2_b, act2)                         # [B, A*(O+K)]
-    q_next = jax.vmap(
-        lambda cp: critic_q_i(cp, joint2))(targets["critic"])  # [A, B]
+    if local_critic:
+        own2 = jnp.concatenate([obs2_b, act2], -1)        # [B, A, O+K]
+        q_next = jax.vmap(critic_q_i, in_axes=(0, 1))(
+            targets["critic"], own2)                      # [A, B]
+    else:
+        joint2 = _joint(obs2_b, act2)                     # [B, A*(O+K)]
+        q_next = jax.vmap(
+            lambda cp: critic_q_i(cp, joint2))(targets["critic"])
     # bootstrap through the time limit (episodes only truncate)
     y = rew_b.T + gamma * q_next                           # [A, B]
     y = jax.lax.stop_gradient(y)
 
     def critic_loss(critic_params):
-        joint = _joint(obs_b, act_b)
-        q = jax.vmap(lambda cp: critic_q_i(cp, joint))(critic_params)
+        if local_critic:
+            own = jnp.concatenate([obs_b, act_b], -1)
+            q = jax.vmap(critic_q_i, in_axes=(0, 1))(critic_params,
+                                                     own)
+        else:
+            joint = _joint(obs_b, act_b)
+            q = jax.vmap(
+                lambda cp: critic_q_i(cp, joint))(critic_params)
         return jnp.mean(jnp.square(q - y)), jnp.mean(q)
 
     (closs, qmean), cgrads = jax.value_and_grad(
@@ -513,7 +547,8 @@ def maddpg_xla_grads(params, targets, obs_b, act_b, rew_b, obs2_b, *,
     aloss, agrads = jax.value_and_grad(
         lambda ap: expected_q_actor_loss(
             ap, params["critic"], obs_b, act_b, mw=mw, cw=cw,
-            ent_coef=ent_coef))(params["actor"])
+            ent_coef=ent_coef,
+            local_critic=local_critic))(params["actor"])
     return ({"actor": agrads, "critic": cgrads}, (closs, aloss, qmean))
 
 
@@ -603,10 +638,12 @@ def _unpack_opt_states(unpack, opt_states):
 
 
 def _make_grads_fn(env, grad_engine: str, *, batch, gamma, ent_coef,
-                   hidden, block_b, interpret, compute_dtype):
+                   hidden, block_b, interpret, compute_dtype,
+                   local_critic: bool = False):
     """grads(params, targets, obs_b, act_b, rew_b, obs2_b) with the
     chosen engine: "xla" = maddpg_xla_grads (op-chain jax.grad),
-    "kernel" = the single-Pallas-kernel analytic gradient."""
+    "kernel" = the single-Pallas-kernel analytic gradient.
+    ``local_critic`` (independent DDPG) is an XLA-engine-only option."""
     mw = 2 * env.spec.dim_p + 1
     aw = maddpg_act_dim(env)
     cw = aw - mw
@@ -614,8 +651,12 @@ def _make_grads_fn(env, grad_engine: str, *, batch, gamma, ent_coef,
         def grads_fn(params, targets, obs_b, act_b, rew_b, obs2_b):
             return maddpg_xla_grads(params, targets, obs_b, act_b,
                                     rew_b, obs2_b, mw=mw, cw=cw,
-                                    gamma=gamma, ent_coef=ent_coef)
+                                    gamma=gamma, ent_coef=ent_coef,
+                                    local_critic=local_critic)
         return grads_fn
+    assert not local_critic, (
+        "independent-DDPG critics need grad_engine='xla' (the Pallas "
+        "update kernel is centralized-critic only)")
     assert grad_engine == "kernel", grad_engine
     from mpe_tpu.ops.fused_maddpg_update import fused_maddpg_update
 
@@ -639,6 +680,7 @@ def build_fused_update_chunk(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     grad_engine: str = "kernel",
+    local_critic: bool = False,
 ):
     """``n_updates`` sequential fused updates per call with the replay
     batches PRE-GATHERED in one read: ``update_chunk(params, targets,
@@ -674,7 +716,8 @@ def build_fused_update_chunk(
     grads_fn = _make_grads_fn(env, grad_engine, batch=batch, gamma=gamma,
                               ent_coef=ent_coef, hidden=hidden,
                               block_b=block_b, interpret=interpret,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              local_critic=local_critic)
 
     packed = hasattr(grads_fn, "run_packed")
 
