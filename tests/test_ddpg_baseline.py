@@ -43,7 +43,10 @@ def _random_batch(key, batch, a, obs_dim, mw, cw):
 
 def test_single_agent_ddpg_equals_maddpg():
     """With ONE agent, the joint (obs, act) IS the own (obs, act):
-    local_critic must be bit-identical to the centralized gradient."""
+    local_critic must equal the centralized gradient. The two paths are
+    DIFFERENT XLA programs computing the same arithmetic, so the pin is
+    a tight tolerance rather than bit equality (reassociation across
+    compiler versions is allowed; the math is not)."""
     obs_dim, a, mw, cw = _dims("simple")
     assert a == 1
     aw = mw + cw
@@ -57,11 +60,11 @@ def test_single_agent_ddpg_equals_maddpg():
         params, targets, *batch, mw=mw, cw=cw, gamma=GAMMA,
         ent_coef=ENTC, local_critic=False)
     jax.tree.map(
-        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
-                                                   np.asarray(y)),
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-6),
         g_loc, g_cen)
-    assert (float(cl_l), float(al_l), float(q_l)) \
-        == (float(cl_c), float(al_c), float(q_c))
+    for l, c in ((cl_l, cl_c), (al_l, al_c), (q_l, q_c)):
+        np.testing.assert_allclose(float(l), float(c), atol=1e-6)
 
 
 def test_multi_agent_ddpg_ignores_others():
@@ -91,6 +94,8 @@ def test_multi_agent_ddpg_ignores_others():
     g2, _ = maddpg_xla_grads(params, targets, obs_s, act_s, rew, obs2_s,
                              mw=mw, cw=cw, gamma=GAMMA, ent_coef=ENTC,
                              local_critic=True)
+    # bit-exact is correct here: SAME program both times, and agent 0's
+    # gradient slice has no data dependency on the scrambled inputs
     jax.tree.map(
         lambda x, y: np.testing.assert_array_equal(
             np.asarray(x[0]), np.asarray(y[0])),

@@ -68,6 +68,8 @@ def main():
             teams[algo] = [runner(args.updates, seed=s)[0]
                            for s in range(args.seeds)]
 
+        from _study_util import select_rows
+
         if not competitive:
             section = {}
             for algo in ("maddpg", "ddpg"):
@@ -82,15 +84,9 @@ def main():
             section["maddpg_advantage"] = round(
                 section["maddpg"]["mean"] - section["ddpg"]["mean"], 3)
         else:
-            adv_col = jnp.asarray(adv)
-            a = scn.spec.n_agents
-
             def combined(good_p, adv_p):
-                return jax.tree.map(
-                    lambda g, o: jnp.where(
-                        adv_col.reshape((a,) + (1,) * (g.ndim - 1)),
-                        o, g),
-                    good_p["actor"], adv_p["actor"])
+                return select_rows(adv, adv_p["actor"],
+                                   good_p["actor"])
 
             section = {}
             for g_algo in ("maddpg", "ddpg"):
