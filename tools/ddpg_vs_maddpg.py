@@ -122,8 +122,13 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "ddpg_vs_maddpg_report.json")
+    merged = {}
+    if os.path.exists(out):          # per-scenario sections merge
+        with open(out) as fh:
+            merged = json.load(fh)
+    merged.update(report)
     with open(out, "w") as fh:
-        json.dump(report, fh, indent=1)
+        json.dump(merged, fh, indent=1)
     print(f"report -> {out}")
 
 
