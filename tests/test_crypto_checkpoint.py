@@ -23,6 +23,37 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 CKPT = os.path.join(ROOT, "checkpoints",
                     "crypto_pbt_grace_repro_s2_m5.npz")
+CKPT_G0 = os.path.join(ROOT, "checkpoints",
+                       "crypto_pbt_grace0_repro_s9_m3.npz")
+
+
+def _load(path):
+    import jax
+
+    from mpe_tpu import scenarios
+    from mpe_tpu.envs import MpeEnv
+    from mpe_tpu.learner.maddpg import init_maddpg, maddpg_act_dim
+    from mpe_tpu.utils.checkpoint import load_checkpoint
+
+    scn = scenarios.load("simple_crypto")
+    env = MpeEnv(scn)
+    like = {"state": init_maddpg(jax.random.PRNGKey(0), scn.obs_width,
+                                 maddpg_act_dim(env), env.n_agents)}
+    return scn, load_checkpoint(path, like)[0]["state"]
+
+
+def test_grace0_protocol_cipher_is_covert():
+    """Same pins for an artifact of the BEST protocol (no-grace frozen
+    speaker, 7/10 population seeds — README crypto section)."""
+    from crypto_study import best_response_errs, eval_seed
+
+    scn, params = _load(CKPT_G0)
+    r = eval_seed(scn, params, n_envs=128)
+    bob_best, eve_best = best_response_errs(r["alice_codebook"])
+    assert bob_best == 0.0 and eve_best == 1.0, r["alice_codebook"]
+    assert r["bob_err"] < 0.05, r
+    assert r["bob_err_keyless"] > 0.8, r
+    assert r["key_changes_msg_frac"] == 1.0, r
 
 
 def test_committed_cipher_is_covert():
